@@ -1,0 +1,122 @@
+"""Batched intra prediction over the block axis (and the mode axis).
+
+Replaces the reference's per-block, per-pixel Python loops
+(/root/reference/nano_hevc/intra.py:37-207) with whole-frame tensor
+ops: DC and planar are broadcast arithmetic; angular modes are two
+static gathers plus an integer lerp driven by the compile-time tables
+in ops.angular_tables.  All functions take the combined reference
+vector layout produced by ops.tiling.extract_refs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from nanohevc_tpu.ops.angular_tables import angular_tables
+
+# Mode numbering follows HEVC: 0 = planar, 1 = DC, 2..34 angular.
+PLANAR_MODE = 0
+DC_MODE = 1
+ALL_ANGULAR = tuple(range(2, 35))
+
+
+def _split_refs(refs: jnp.ndarray, n: int):
+    """Combined (nb, 4N+2) -> top (nb, 2N+1), left (nb, 2N+1)."""
+    return refs[:, : 2 * n + 1], refs[:, 2 * n + 1 :]
+
+
+def dc_predict(refs: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(nb, 4N+2) -> (nb, N, N): floor((sum top + sum left + N) / 2N)."""
+    top, left = _split_refs(refs, n)
+    total = top[:, 1 : n + 1].sum(axis=1) + left[:, 1 : n + 1].sum(axis=1)
+    dc = (total + n) // (2 * n)
+    return jnp.broadcast_to(dc[:, None, None], (refs.shape[0], n, n))
+
+
+def planar_predict(
+    refs: jnp.ndarray,
+    n: int,
+    top_right: jnp.ndarray | None = None,
+    bottom_left: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(nb, 4N+2) -> (nb, N, N) planar gradient (spec 8.4.4.2.4).
+
+    By default top_right/bottom_left are the Nth reference samples
+    (top[N], left[N] in corner-at-0 layout) — i.e. the last sample of
+    the length-N neighbor row, matching the reference encoder's
+    `top[-1]` convention (__main__.py:167-168).  Pass refs[:, n+1] /
+    refs[:, 3n+2] for the spec-exact beyond-block samples instead.
+    """
+    top, left = _split_refs(refs, n)
+    if top_right is None:
+        top_right = top[:, n]
+    if bottom_left is None:
+        bottom_left = left[:, n]
+    shift = n.bit_length()  # log2(n) + 1
+    x = jnp.arange(n, dtype=jnp.int32)
+    y = x
+    h = (n - 1 - x)[None, None, :] * left[:, 1 : n + 1, None] + (x + 1)[
+        None, None, :
+    ] * top_right[:, None, None]
+    v = (n - 1 - y)[None, :, None] * top[:, None, 1 : n + 1] + (y + 1)[
+        None, :, None
+    ] * bottom_left[:, None, None]
+    return (h + v + n) >> shift
+
+
+def _angular_from_tables(refs: jnp.ndarray, n: int, tabs) -> jnp.ndarray:
+    """Shared gather+lerp: (nb, 4N+2) -> (nb, M, N, N)."""
+    nb = refs.shape[0]
+    m = len(tabs.modes)
+    ref_len = 3 * n + 1
+    # Stage 1: per-mode projection reference arrays (static gather).
+    ref_m = refs[:, jnp.asarray(tabs.src)]                    # (nb, M, 3N+1)
+    # Stage 2: projection (static gather along the ref axis) + lerp.
+    idx = jnp.asarray(tabs.idx.reshape(m, n * n))
+    a = jnp.take_along_axis(ref_m, jnp.broadcast_to(idx[None], (nb, m, n * n)), axis=2)
+    idx1 = jnp.minimum(idx + 1, ref_len - 1)   # +1 only used when frac != 0
+    b = jnp.take_along_axis(ref_m, jnp.broadcast_to(idx1[None], (nb, m, n * n)), axis=2)
+    frac = jnp.asarray(tabs.frac.reshape(1, m, n * n))
+    pred = ((32 - frac) * a + frac * b + 16) >> 5
+    return pred.reshape(nb, m, n, n)
+
+
+def angular_predict_all(refs: jnp.ndarray, n: int) -> jnp.ndarray:
+    """All 33 angular modes at once: (nb, 4N+2) -> (nb, 33, N, N)."""
+    return _angular_from_tables(refs, n, angular_tables(n))
+
+
+def angular_predict_modes(
+    refs: jnp.ndarray, n: int, modes: Sequence[int]
+) -> jnp.ndarray:
+    """A static subset of angular modes: -> (nb, len(modes), N, N)."""
+    return _angular_from_tables(refs, n, angular_tables(n, tuple(modes)))
+
+
+def predict_by_mode(refs: jnp.ndarray, n: int, mode_idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-block mode selection: (nb, 4N+2), (nb,) -> (nb, N, N).
+
+    mode_idx uses HEVC numbering (0 planar, 1 DC, 2..34 angular) and
+    may differ per block; the angular tables are gathered dynamically
+    by block, so this stays O(nb * N^2) regardless of the mode mix.
+    """
+    nb = refs.shape[0]
+    tabs = angular_tables(n)
+    ang = jnp.clip(mode_idx - 2, 0, 32)
+    src_b = jnp.asarray(tabs.src)[ang]                         # (nb, 3N+1)
+    ref_b = jnp.take_along_axis(refs, src_b, axis=1)
+    idx_b = jnp.asarray(tabs.idx.reshape(33, n * n))[ang]      # (nb, N*N)
+    frac_b = jnp.asarray(tabs.frac.reshape(33, n * n))[ang]
+    a = jnp.take_along_axis(ref_b, idx_b, axis=1)
+    b = jnp.take_along_axis(ref_b, jnp.minimum(idx_b + 1, 3 * n), axis=1)
+    ang_pred = (((32 - frac_b) * a + frac_b * b + 16) >> 5).reshape(nb, n, n)
+
+    sel = mode_idx[:, None, None]
+    return jnp.where(
+        sel == PLANAR_MODE,
+        planar_predict(refs, n),
+        jnp.where(sel == DC_MODE, dc_predict(refs, n), ang_pred),
+    )

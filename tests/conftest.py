@@ -1,20 +1,27 @@
-"""Test configuration.
+"""Test configuration: force the CPU backend with 8 virtual devices.
 
-Tests run on a virtual 8-device CPU backend so that multi-chip sharding
-paths (jax.sharding.Mesh over 8 devices) can be exercised without TPU
-hardware.  All codec ops are integer arithmetic, so CPU results are
-bit-identical to TPU results; the benchmark (bench.py) runs on the real
-chip separately.
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths
+can be exercised without TPU hardware.  All codec ops are integer
+arithmetic, so CPU results are bit-identical to TPU results; bench.py
+runs on the real chip separately.
 
-The env vars must be set before jax initializes a backend, hence this
-happens at conftest import time.
+This container pre-imports jax and registers the TPU backend in
+sitecustomize (JAX_PLATFORMS=axon), so setting env vars here is too
+late — use jax.config.update instead, which works any time before the
+backend is first used.  Set NANOHEVC_TEST_PLATFORM to override (e.g.
+to run the parity suite on the real chip).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+platform = os.environ.get("NANOHEVC_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", platform)
