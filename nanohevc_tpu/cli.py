@@ -1,0 +1,163 @@
+"""Command-line interface: `python -m nanohevc_tpu demo|encode`.
+
+Flag-compatible with the reference CLI
+(/root/reference/nano_hevc/__main__.py:219-241) and extends it:
+`encode` gains --qp / --pipeline full / --mode-search for the complete
+predict->transform->quant->recon chain the reference never wired into
+its CLI.  The console script `nano-hevc-tpu` (pyproject) also lands
+here — working, unlike the reference's broken `nano_hevc.encoder:main`
+entry (pyproject.toml:38).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def demo_predictions(height: int, width: int, block_size: int) -> None:
+    """DC vs planar demo on the synthetic test frame (device-batched)."""
+    import jax.numpy as jnp
+
+    from nanohevc_tpu import ops
+    from nanohevc_tpu.models.all_intra import create_test_frame
+    from nanohevc_tpu.ref.metrics import psnr
+
+    print("nanohevc-tpu intra prediction demo")
+    print(f"Frame: {width}x{height}, Block size: {block_size}x{block_size}")
+    print("=" * 60)
+
+    frame = create_test_frame(height, width)
+    plane = jnp.asarray(frame.y.data.astype(np.int32))
+    n = block_size
+    blocks = ops.tile_plane(plane, n)
+    refs = ops.extract_refs(plane, n)
+    dc_pred = ops.dc_predict(refs, n)
+    pl_pred = ops.planar_predict(refs, n)
+    dc_energy = np.asarray(ops.residual_energy_blocks(blocks - dc_pred))
+    pl_energy = np.asarray(ops.residual_energy_blocks(blocks - pl_pred))
+
+    nbx = width // n
+    nb = dc_energy.shape[0]
+    print(f"\n{'Block':<12} {'DC Energy':>12} {'Planar Energy':>14} {'Winner':>10}")
+    print("-" * 60)
+    for b in range(min(nb, 16)):
+        x, y = (b % nbx) * n, (b // nbx) * n
+        winner = "DC" if dc_energy[b] <= pl_energy[b] else "Planar"
+        print(f"({x:3},{y:3})    {dc_energy[b]:>12} {pl_energy[b]:>14} {winner:>10}")
+    if nb > 16:
+        print(f"... ({nb - 16} more blocks)")
+    print("-" * 60)
+
+    dc_wins = int((dc_energy <= pl_energy).sum())
+    print("\nSummary:")
+    print(f"  Total blocks: {nb}")
+    print(f"  DC wins:      {dc_wins} ({100 * dc_wins / nb:.1f}%)")
+    print(f"  Planar wins:  {nb - dc_wins} ({100 * (nb - dc_wins) / nb:.1f}%)")
+    print(f"\n  DC total residual energy:     {int(dc_energy.sum()):,}")
+    print(f"  Planar total residual energy: {int(pl_energy.sum()):,}")
+
+    best = np.where(
+        (dc_energy <= pl_energy)[:, None, None], np.asarray(dc_pred), np.asarray(pl_pred)
+    )
+    recon = np.asarray(
+        ops.untile_plane(jnp.asarray(np.clip(best, 0, 255)), height, width)
+    )
+    value = psnr(frame.y.data.astype(np.uint8), recon.astype(np.uint8))
+    print(f"\n  Reconstruction PSNR (best mode): {value:.2f} dB")
+
+
+def cmd_demo(args: argparse.Namespace) -> None:
+    demo_predictions(args.height, args.width, args.block_size)
+
+
+def cmd_encode(args: argparse.Namespace) -> None:
+    from nanohevc_tpu.config import EncoderConfig
+    from nanohevc_tpu.frame import Frame
+    from nanohevc_tpu.models.all_intra import encode_frame_full, encode_frame_intra
+    from nanohevc_tpu.ref.metrics import psnr
+
+    with open(args.input, "rb") as f:
+        data = f.read()
+    expected = args.width * args.height * 3 // 2
+    if len(data) < expected:
+        print(f"Error: file too small. Expected {expected} bytes, got {len(data)}")
+        sys.exit(1)
+
+    frame = Frame.from_yuv420p(data[:expected], args.height, args.width)
+    print(f"Loaded: {args.input} ({args.width}x{args.height})")
+
+    if args.pipeline == "predict":
+        recon, stats = encode_frame_intra(frame, args.block_size, args.output)
+        if args.output:
+            print(f"Wrote: {args.output}")
+        y_psnr = psnr(
+            frame.y.data.astype(np.uint8), recon.y.data.astype(np.uint8)
+        )
+        print("\nResults:")
+        print(
+            f"  Blocks: {stats['blocks']} (DC: {stats['dc']}, "
+            f"Planar: {stats['planar']})"
+        )
+        print(f"  Y-PSNR: {y_psnr:.2f} dB")
+    else:
+        config = EncoderConfig(
+            block_size=args.block_size,
+            qp=args.qp,
+            mode_set="all" if args.mode_search else "dc_planar",
+            decision="satd" if args.mode_search else "energy",
+        )
+        recon, info = encode_frame_full(frame, config)
+        if args.output:
+            with open(args.output, "wb") as f:
+                f.write(recon.to_yuv420p())
+            print(f"Wrote: {args.output}")
+        nnz = sum(p["nnz"] for p in info["planes"].values())
+        print("\nResults:")
+        print(f"  Blocks: {info['blocks']}  QP: {args.qp}")
+        print(f"  Non-zero coefficients: {nnz}")
+        print(f"  Y-PSNR: {info['psnr_y']:.2f} dB")
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="nano-hevc-tpu",
+        description="TPU-native HEVC all-intra encoder",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    demo = sub.add_parser("demo", help="Run demo with synthetic test frame")
+    demo.add_argument("--width", type=int, default=64, help="Frame width")
+    demo.add_argument("--height", type=int, default=64, help="Frame height")
+    demo.add_argument("--block-size", type=int, default=8, help="Block size (4,8,16,32)")
+    demo.set_defaults(func=cmd_demo)
+
+    enc = sub.add_parser("encode", help="Encode a YUV420p file")
+    enc.add_argument("input", help="Input YUV420p file")
+    enc.add_argument("--width", type=int, required=True, help="Frame width")
+    enc.add_argument("--height", type=int, required=True, help="Frame height")
+    enc.add_argument("--block-size", type=int, default=8, help="Block size")
+    enc.add_argument("-o", "--output", help="Output reconstructed YUV file")
+    enc.add_argument("--qp", type=int, default=22, help="Quantization parameter 0-51")
+    enc.add_argument(
+        "--pipeline",
+        choices=("predict", "full"),
+        default="predict",
+        help="predict = reference-parity prediction-only; "
+        "full = predict+transform+quant+recon",
+    )
+    enc.add_argument(
+        "--mode-search",
+        action="store_true",
+        help="search all 35 intra modes (SATD) instead of DC/planar energy",
+    )
+    enc.set_defaults(func=cmd_encode)
+
+    args = parser.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

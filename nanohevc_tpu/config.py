@@ -1,0 +1,50 @@
+"""Encoder configuration (frozen, hashable -> usable as a jit static arg).
+
+The reference passes block size / QP / DST flags as loose function
+parameters (__main__.py:219-241, quant.py:45, transform.py:154); here
+they are one immutable config object shared by the CLI, the encoder
+pipelines and the benchmark harness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """All-intra encoder settings.
+
+    mode_set:
+      "dc_planar"  - reference-parity decision (DC vs planar by residual
+                     energy, __main__.py:165-179)
+      "all"        - full 35-mode search (planar, DC, angular 2-34)
+    decision:
+      "energy" (SSE of prediction residual), "satd", or "sad"
+    """
+
+    block_size: int = 8
+    qp: int = 22
+    bit_depth: int = 8
+    is_intra: bool = True
+    mode_set: str = "dc_planar"
+    decision: str = "energy"
+    scan: str = "diag"
+
+    def __post_init__(self):
+        if self.block_size not in (4, 8, 16, 32):
+            raise ValueError(f"block_size must be 4/8/16/32, got {self.block_size}")
+        if self.mode_set not in ("dc_planar", "all"):
+            raise ValueError(f"unknown mode_set: {self.mode_set}")
+        if self.decision not in ("energy", "satd", "sad"):
+            raise ValueError(f"unknown decision: {self.decision}")
+        if self.scan not in ("diag", "horizontal", "vertical"):
+            raise ValueError(f"unknown scan: {self.scan}")
+
+    def chroma_block_size(self) -> int:
+        """U/V block size: half of luma, floor 4 (parity: __main__.py:156-158)."""
+        return max(4, self.block_size // 2)
+
+    def use_dst(self, n: int, is_luma: bool) -> bool:
+        """DST-VII applies to 4x4 luma intra blocks only (HEVC rule)."""
+        return self.is_intra and is_luma and n == 4

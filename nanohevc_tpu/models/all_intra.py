@@ -1,0 +1,281 @@
+"""All-intra encoder pipelines over the blocked frame tensor.
+
+Two pipelines, both jitted whole-plane graphs (no per-block loops):
+
+- `encode_plane_parity`: the reference CLI's predict-only encode —
+  DC vs planar decided by residual energy, best prediction written to
+  the reconstruction (parity: /root/reference/nano_hevc/__main__.py:
+  142-189, including neighbors-from-source and clip-before-write).
+
+- `encode_plane_full`: the complete front-half — mode search (DC+planar
+  or all 35 modes), predict -> residual -> forward transform -> quantize
+  -> scan-pack (for the host entropy stage) -> dequantize -> inverse
+  transform -> reconstruct -> clip.  This is the chain the reference
+  only exercises in tests/README (SURVEY §3.3), here as one fused
+  device graph.
+
+Mode numbering: 0 planar, 1 DC, 2..34 angular.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanohevc_tpu.config import EncoderConfig
+from nanohevc_tpu.frame import Frame, Plane
+from nanohevc_tpu import ops
+from nanohevc_tpu.ops.intra import DC_MODE, PLANAR_MODE
+
+
+# ---------------------------------------------------------------------------
+# Mode decision
+# ---------------------------------------------------------------------------
+
+def _cost(blocks: jnp.ndarray, pred: jnp.ndarray, decision: str) -> jnp.ndarray:
+    if decision == "energy":
+        return ops.residual_energy_blocks(blocks - pred)
+    if decision == "satd":
+        return ops.satd_blocks(blocks, pred)
+    return ops.sad_blocks(blocks, pred)
+
+
+def decide_modes(
+    blocks: jnp.ndarray,
+    refs: jnp.ndarray,
+    n: int,
+    mode_set: str,
+    decision: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pick the best intra mode per block.
+
+    Returns (pred (nb,N,N), mode_idx (nb,)).  For "dc_planar", ties go
+    to DC (parity: __main__.py:173-179).  For "all", ties go to the
+    lowest mode index (argmin).  The 35-mode search runs as a running
+    minimum over per-mode predictions, so peak memory stays O(nb*N^2)
+    instead of O(nb*35*N^2).
+    """
+    dc = ops.dc_predict(refs, n)
+    pl = ops.planar_predict(refs, n)
+    cost_dc = _cost(blocks, dc, decision)
+    cost_pl = _cost(blocks, pl, decision)
+
+    if mode_set == "dc_planar":
+        dc_wins = cost_dc <= cost_pl
+        pred = jnp.where(dc_wins[:, None, None], dc, pl)
+        mode = jnp.where(dc_wins, DC_MODE, PLANAR_MODE).astype(jnp.int32)
+        return pred, mode
+
+    # 35-mode search: seed with planar (mode 0), fold in DC then angular.
+    best_cost, best_mode = cost_pl, jnp.zeros_like(cost_pl, dtype=jnp.int32)
+    take = cost_dc < best_cost
+    best_cost = jnp.where(take, cost_dc, best_cost)
+    best_mode = jnp.where(take, DC_MODE, best_mode)
+    for m in range(2, 35):
+        pred_m = ops.angular_predict_modes(refs, n, (m,))[:, 0]
+        cost_m = _cost(blocks, pred_m, decision)
+        take = cost_m < best_cost
+        best_cost = jnp.where(take, cost_m, best_cost)
+        best_mode = jnp.where(take, m, best_mode)
+    pred = ops.predict_by_mode(refs, n, best_mode)
+    return pred, best_mode
+
+
+# ---------------------------------------------------------------------------
+# Plane pipelines (pure jnp graphs; jitted via the cached wrappers below)
+# ---------------------------------------------------------------------------
+
+def _clip(x: jnp.ndarray, bit_depth: int) -> jnp.ndarray:
+    return jnp.clip(x, 0, (1 << bit_depth) - 1)
+
+
+def encode_plane_parity(
+    plane: jnp.ndarray, n: int, bit_depth: int = 8
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Predict-only encode of one plane (reference CLI semantics).
+
+    (H, W) int -> (recon (H, W) int32 with zero-filled dropped edges,
+    dc_wins (nb,) bool).
+    """
+    h, w = plane.shape
+    blocks = ops.tile_plane(plane.astype(jnp.int32), n)
+    refs = ops.extract_refs(plane, n)
+    pred, mode = decide_modes(blocks, refs, n, "dc_planar", "energy")
+    recon = ops.untile_plane(_clip(pred, bit_depth), h, w)
+    return recon, mode == DC_MODE
+
+
+def encode_plane_full(
+    plane: jnp.ndarray,
+    qp,
+    *,
+    n: int,
+    mode_set: str = "dc_planar",
+    decision: str = "energy",
+    use_dst: bool = False,
+    is_intra: bool = True,
+    bit_depth: int = 8,
+    scan: str = "diag",
+):
+    """Full front-half encode of one plane.
+
+    Returns dict of device arrays:
+      recon  (H, W)   reconstructed plane (dropped edges copy the source,
+                      so frame metrics reflect coded area only)
+      levels (nb, N*N) scan-ordered quantized levels (host entropy input)
+      modes  (nb,)    chosen intra mode per block
+      nnz    (nb,)    non-zero level count per block
+    """
+    h, w = plane.shape
+    src = plane.astype(jnp.int32)
+    blocks = ops.tile_plane(src, n)
+    refs = ops.extract_refs(src, n)
+    pred, modes = decide_modes(blocks, refs, n, mode_set, decision)
+    res = blocks - pred
+    coeff = ops.forward_transform(res, use_dst)
+    levels = ops.quantize(coeff, qp, n, is_intra)
+    packed = ops.scan_pack(levels, scan)
+    deq = ops.dequantize(levels, qp, n)
+    rec_res = ops.inverse_transform(deq, use_dst)
+    recon_blocks = _clip(pred + rec_res, bit_depth)
+    recon = ops.untile_plane(recon_blocks, h, w)
+    nby, nbx = h // n, w // n
+    if nby * n != h or nbx * n != w:
+        # keep uncoded edge pixels = source so PSNR measures coded loss
+        mask = jnp.zeros((h, w), dtype=bool).at[: nby * n, : nbx * n].set(True)
+        recon = jnp.where(mask, recon, src)
+    return {
+        "recon": recon,
+        "levels": packed,
+        "modes": modes,
+        "nnz": (packed != 0).sum(axis=1),
+    }
+
+
+@lru_cache(maxsize=None)
+def _jit_parity(n: int, bit_depth: int):
+    return jax.jit(partial(encode_plane_parity, n=n, bit_depth=bit_depth))
+
+
+@lru_cache(maxsize=None)
+def _jit_full(n: int, mode_set: str, decision: str, use_dst: bool,
+              is_intra: bool, bit_depth: int, scan: str):
+    return jax.jit(
+        partial(
+            encode_plane_full,
+            n=n,
+            mode_set=mode_set,
+            decision=decision,
+            use_dst=use_dst,
+            is_intra=is_intra,
+            bit_depth=bit_depth,
+            scan=scan,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frame-level host wrappers
+# ---------------------------------------------------------------------------
+
+def encode_frame_intra(
+    frame: Frame, block_size: int, output_path: str | None = None
+) -> Tuple[Frame, dict]:
+    """Predict-only frame encode, reference-CLI compatible.
+
+    Y uses block_size; U/V use block_size//2 floored at 4
+    (parity: __main__.py:151-158).  Returns (recon Frame, stats dict
+    with "dc"/"planar"/"blocks" counts summed over all planes).
+    """
+    recon = Frame.zeros(frame.height, frame.width, dtype=np.int16)
+    stats = {"dc": 0, "planar": 0, "blocks": 0}
+    chroma_bs = max(4, block_size // 2)
+    for name, src, dst in (
+        ("Y", frame.y, recon.y),
+        ("U", frame.u, recon.u),
+        ("V", frame.v, recon.v),
+    ):
+        bs = block_size if name == "Y" else chroma_bs
+        rec, dc_wins = _jit_parity(bs, 8)(jnp.asarray(src.data))
+        dst.data[...] = np.asarray(rec).astype(np.int16)
+        dc = int(np.asarray(dc_wins).sum())
+        nb = int(dc_wins.shape[0])
+        stats["dc"] += dc
+        stats["planar"] += nb - dc
+        stats["blocks"] += nb
+    if output_path:
+        with open(output_path, "wb") as f:
+            f.write(recon.to_yuv420p())
+    return recon, stats
+
+
+def encode_frame_full(frame: Frame, config: EncoderConfig) -> Tuple[Frame, dict]:
+    """Full front-half frame encode under an EncoderConfig.
+
+    Returns (recon Frame, info dict with per-plane levels/modes plus
+    summary stats: psnr_y, nnz, estimated bits).
+    """
+    recon = Frame.zeros(frame.height, frame.width, dtype=np.int16)
+    info = {"planes": {}, "blocks": 0}
+    for name, src, dst in (
+        ("Y", frame.y, recon.y),
+        ("U", frame.u, recon.u),
+        ("V", frame.v, recon.v),
+    ):
+        is_luma = name == "Y"
+        bs = config.block_size if is_luma else config.chroma_block_size()
+        fn = _jit_full(
+            bs,
+            config.mode_set,
+            config.decision,
+            config.use_dst(bs, is_luma),
+            config.is_intra,
+            config.bit_depth,
+            config.scan,
+        )
+        out = fn(jnp.asarray(src.data), jnp.int32(config.qp))
+        dst.data[...] = np.asarray(out["recon"]).astype(np.int16)
+        info["planes"][name] = {
+            "levels": np.asarray(out["levels"]),
+            "modes": np.asarray(out["modes"]),
+            "nnz": int(np.asarray(out["nnz"]).sum()),
+            "block_size": bs,
+        }
+        info["blocks"] += int(out["modes"].shape[0])
+    from nanohevc_tpu.ref.metrics import psnr as psnr_host
+
+    info["psnr_y"] = psnr_host(
+        frame.y.data.astype(np.uint8), recon.y.data.astype(np.uint8)
+    )
+    return recon, info
+
+
+# ---------------------------------------------------------------------------
+# Demo utilities
+# ---------------------------------------------------------------------------
+
+def create_test_frame(height: int, width: int) -> Frame:
+    """Synthetic 4-quadrant test frame (parity: __main__.py:26-53).
+
+    Quadrants: horizontal gradient / vertical gradient / flat 128 /
+    diagonal ramp min(255, 50+i+j).  Vectorized numpy.
+    """
+    h2, w2 = height // 2, width // 2
+    y = np.empty((height, width), dtype=np.uint8)
+    y[:h2, :w2] = np.tile(np.linspace(50, 200, w2, dtype=np.uint8), (h2, 1))
+    y[:h2, w2:] = np.tile(
+        np.linspace(50, 200, h2, dtype=np.uint8).reshape(-1, 1), (1, width - w2)
+    )
+    y[h2:, :w2] = 128
+    i = np.arange(height - h2).reshape(-1, 1)
+    j = np.arange(width - w2).reshape(1, -1)
+    y[h2:, w2:] = np.minimum(255, 50 + i + j).astype(np.uint8)
+    u = np.full((h2, w2), 128, dtype=np.uint8)
+    v = np.full((h2, w2), 128, dtype=np.uint8)
+    return Frame(
+        Plane(y.astype(np.int16)), Plane(u.astype(np.int16)), Plane(v.astype(np.int16))
+    )
