@@ -1,0 +1,93 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nanohevc_tpu.config import EncoderConfig
+from nanohevc_tpu.models.all_intra import encode_plane_full
+from nanohevc_tpu.parallel import encode_batch_sharded, make_batch_encoder, make_mesh
+
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+class TestMesh:
+    @needs_8
+    def test_2d_mesh_shapes(self):
+        mesh = make_mesh(space=2)
+        assert mesh.devices.shape == (4, 2)
+        assert mesh.axis_names == ("frame", "space")
+
+    @needs_8
+    def test_invalid_space_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(space=3)
+
+
+class TestShardedEncode:
+    @needs_8
+    @pytest.mark.parametrize("space", [1, 2])
+    def test_sharded_matches_single_device(self, space):
+        """Sharded multi-frame encode is bit-identical to per-frame encode."""
+        mesh = make_mesh(space=space)
+        f_axis = 8 // space
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, (f_axis, 32 * space, 64)).astype(np.int32)
+        config = EncoderConfig(block_size=8, qp=22)
+
+        out = encode_batch_sharded(frames, 22, config, mesh)
+        recon = np.asarray(out["recon"])
+        levels = np.asarray(out["levels"])
+
+        for f in range(frames.shape[0]):
+            single = encode_plane_full(
+                jnp.asarray(frames[f]), jnp.int32(22), n=8
+            )
+            assert np.array_equal(recon[f], np.asarray(single["recon"])), f
+            assert np.array_equal(levels[f], np.asarray(single["levels"])), f
+
+    @needs_8
+    def test_mean_psnr_reduction(self):
+        mesh = make_mesh(space=1)
+        rng = np.random.default_rng(1)
+        frames = rng.integers(0, 256, (8, 32, 32)).astype(np.int32)
+        out = encode_batch_sharded(frames, 30, EncoderConfig(block_size=4, qp=30), mesh)
+        per_frame = np.asarray(out["psnr"])
+        assert np.isfinite(per_frame).all()
+        assert abs(float(out["mean_psnr"]) - per_frame.mean()) < 1e-3
+
+    def test_unsharded_encoder_works(self):
+        fn = make_batch_encoder(EncoderConfig(block_size=8, qp=22))
+        rng = np.random.default_rng(2)
+        frames = jnp.asarray(rng.integers(0, 256, (2, 32, 64)).astype(np.int32))
+        out = fn(frames, jnp.int32(22))
+        assert out["recon"].shape == (2, 32, 64)
+        assert out["levels"].shape == (2, 32, 64)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(len(jax.devices()))
+
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import entry
+
+        fn, (plane, qp) = entry()
+        # compile-check on a small slice to keep CPU time down
+        small = plane[:64, :128]
+        out = jax.jit(fn)(small, qp)
+        assert out["recon"].shape == (64, 128)
