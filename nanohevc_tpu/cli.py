@@ -119,6 +119,23 @@ def cmd_encode(args: argparse.Namespace) -> None:
         print(f"  Blocks: {info['blocks']}  QP: {args.qp}")
         print(f"  Non-zero coefficients: {nnz}")
         print(f"  Y-PSNR: {info['psnr_y']:.2f} dB")
+        if args.bitstream:
+            from nanohevc_tpu.runtime import assemble_bitstream
+
+            planes = {
+                name: (p["levels"], p["block_size"])
+                for name, p in info["planes"].items()
+            }
+            modes = {name: p["modes"] for name, p in info["planes"].items()}
+            bs = assemble_bitstream(args.width, args.height, args.qp, planes, modes)
+            with open(args.bitstream, "wb") as f:
+                f.write(bs)
+            raw = args.width * args.height * 3 // 2
+            print(
+                f"  Bitstream: {args.bitstream} ({len(bs)} bytes, "
+                f"{8 * len(bs) / (args.width * args.height):.3f} bpp, "
+                f"{raw / len(bs):.1f}x vs raw YUV)"
+            )
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -152,6 +169,11 @@ def main(argv: list[str] | None = None) -> None:
         "--mode-search",
         action="store_true",
         help="search all 35 intra modes (SATD) instead of DC/planar energy",
+    )
+    enc.add_argument(
+        "--bitstream",
+        help="write entropy-coded bitstream (NAL-framed) to this path "
+        "(full pipeline only)",
     )
     enc.set_defaults(func=cmd_encode)
 

@@ -1,0 +1,134 @@
+"""Frame bitstream assembly/parsing over the native entropy codec.
+
+Layout (framework-defined, spec-style framing):
+
+  [NAL VPS][NAL SPS][NAL PPS][NAL slice Y][NAL slice U][NAL slice V]
+
+Each slice payload: 16-byte little-endian header (plane_id u16,
+block_size u16, nb u32, modes_len u32, levels_len u32) followed by the
+range-coded per-block intra modes and the range-coded levels.  All
+NALs carry start codes, the 2-byte header, and emulation prevention
+(stripped symmetrically on parse).  Implements the nal.py capability
+the reference declares but never ships.
+
+Note: the bitstream is fully invertible back to (modes, levels); pixel
+-exact decode additionally requires the encoder's closed-loop
+(reconstruction-fed) prediction mode, since reference-parity
+prediction reads source neighbors the decoder does not have
+(SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from nanohevc_tpu.runtime import entropy
+
+
+def assemble_bitstream(
+    width: int,
+    height: int,
+    qp: int,
+    plane_levels: Dict[str, Tuple[np.ndarray, int]],
+    plane_modes: Optional[Dict[str, np.ndarray]] = None,
+) -> bytes:
+    """Build a full frame bitstream.
+
+    plane_levels maps plane name ("Y"/"U"/"V") to (levels (nb, ncoef)
+    int32 scan-ordered, block_size); plane_modes optionally maps the
+    same names to (nb,) int32 intra-mode indices.
+    """
+    first = next(iter(plane_levels.values()))
+    out = [
+        entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, first[1], qp, 0)),
+        entropy.wrap_nal(entropy.NAL_SPS, entropy.write_params(width, height, first[1], qp, 1)),
+        entropy.wrap_nal(entropy.NAL_PPS, entropy.write_params(width, height, first[1], qp, 2)),
+    ]
+    plane_ids = {"Y": 0, "U": 1, "V": 2}
+    for name, (levels, block_size) in plane_levels.items():
+        levels = np.ascontiguousarray(levels, dtype=np.int32)
+        nb, ncoef = levels.shape
+        if plane_modes and name in plane_modes:
+            modes = np.ascontiguousarray(plane_modes[name], dtype=np.int32)
+            mpay = entropy.encode_levels(modes.reshape(nb, 1))
+        else:
+            mpay = b""
+        payload = entropy.encode_levels(levels)
+        header = struct.pack(
+            "<HHIII", plane_ids[name], block_size, nb, len(mpay), len(payload)
+        )
+        out.append(entropy.wrap_nal(entropy.NAL_SLICE, header + mpay + payload))
+    return b"".join(out)
+
+
+def _split_nals(data: bytes) -> List[Tuple[int, bytes]]:
+    """Split on start codes; return (nal_type, unescaped payload) pairs."""
+    # find start codes (00 00 01, optionally preceded by 00)
+    starts = []
+    i = 0
+    while i + 3 <= len(data):
+        if data[i : i + 3] == b"\x00\x00\x01":
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    nals = []
+    for k, s in enumerate(starts):
+        e = len(data)
+        if k + 1 < len(starts):
+            e = starts[k + 1] - 3
+            if e > s and data[e - 1 : e] == b"\x00":  # 4-byte start code's zero
+                e -= 1
+        raw = data[s:e]
+        nal_type = (raw[0] >> 1) & 0x3F
+        payload = _unescape(raw[2:])
+        nals.append((nal_type, payload))
+    return nals
+
+
+def _unescape(b: bytes) -> bytes:
+    """Remove emulation_prevention_three_bytes (00 00 03 xx -> 00 00 xx)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(b):
+        v = b[i]
+        if zeros >= 2 and v == 3 and i + 1 < len(b) and b[i + 1] <= 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(v)
+        zeros = zeros + 1 if v == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def parse_bitstream(data: bytes) -> Dict[str, dict]:
+    """Inverse of assemble_bitstream.
+
+    Returns {plane: {"levels": (nb, ncoef) int32, "modes": (nb,) int32
+    or None, "block_size": int}}.
+    """
+    names = {0: "Y", 1: "U", 2: "V"}
+    planes: Dict[str, dict] = {}
+    for nal_type, payload in _split_nals(data):
+        if nal_type != entropy.NAL_SLICE:
+            continue
+        plane_id, block_size, nb, mlen, plen = struct.unpack("<HHIII", payload[:16])
+        modes = None
+        off = 16
+        if mlen:
+            modes = entropy.decode_levels(payload[off : off + mlen], nb, 1)[:, 0]
+            off += mlen
+        levels = entropy.decode_levels(
+            payload[off : off + plen], nb, block_size * block_size
+        )
+        planes[names[plane_id]] = {
+            "levels": levels,
+            "modes": modes,
+            "block_size": block_size,
+        }
+    return planes

@@ -1,0 +1,116 @@
+"""ctypes bindings for the native entropy codec.
+
+The host-side entropy stage: consumes the scan-ordered level tensor
+produced on device (nanohevc_tpu.ops.scan_pack) and produces a
+compressed byte payload; `decode_levels` restores it bit-exactly.
+Implements the cabac.py capability the reference declares but never
+ships (README.md:19-21).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from functools import lru_cache
+
+import numpy as np
+
+from nanohevc_tpu.runtime.build import build_runtime
+
+
+@lru_cache(maxsize=1)
+def _lib() -> ctypes.CDLL:
+    lib = ctypes.CDLL(str(build_runtime()))
+    lib.nhr_encode_levels.restype = ctypes.c_int64
+    lib.nhr_encode_levels.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    lib.nhr_decode_levels.restype = ctypes.c_int64
+    lib.nhr_decode_levels.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.nhr_wrap_nal.restype = ctypes.c_int64
+    lib.nhr_wrap_nal.argtypes = [
+        ctypes.c_uint8,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    lib.nhr_write_params.restype = ctypes.c_int64
+    lib.nhr_write_params.argtypes = [
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_uint8,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    return lib
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def encode_levels(levels: np.ndarray) -> bytes:
+    """(nb, ncoef) int32 scan-ordered levels -> compressed bytes."""
+    levels = np.ascontiguousarray(levels, dtype=np.int32)
+    nb, ncoef = levels.shape
+    cap = levels.size * 4 + 1024  # worst case: incompressible
+    out = np.empty(cap, dtype=np.uint8)
+    n = _lib().nhr_encode_levels(_i32ptr(levels), nb, ncoef, _u8ptr(out), cap)
+    if n < 0:
+        raise RuntimeError("entropy encoder output overflow")
+    return out[:n].tobytes()
+
+
+def decode_levels(data: bytes, nb: int, ncoef: int) -> np.ndarray:
+    """Inverse of encode_levels: bytes -> (nb, ncoef) int32 levels."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    buf = np.ascontiguousarray(buf)
+    out = np.empty((nb, ncoef), dtype=np.int32)
+    rc = _lib().nhr_decode_levels(_u8ptr(buf), len(data), nb, ncoef, _i32ptr(out))
+    if rc != 0:
+        raise RuntimeError("entropy decoder failure")
+    return out
+
+
+# NAL unit types (framework-defined numbering following spec layout).
+NAL_VPS = 32
+NAL_SPS = 33
+NAL_PPS = 34
+NAL_SLICE = 1
+
+
+def wrap_nal(nal_type: int, payload: bytes) -> bytes:
+    """Start code + NAL header + emulation-prevention-stuffed payload."""
+    pay = np.frombuffer(payload, dtype=np.uint8)
+    pay = np.ascontiguousarray(pay)
+    cap = len(payload) + len(payload) // 2 + 16
+    out = np.empty(cap, dtype=np.uint8)
+    n = _lib().nhr_wrap_nal(nal_type, _u8ptr(pay), len(payload), _u8ptr(out), cap)
+    if n == 0:
+        raise RuntimeError("NAL wrap overflow")
+    return out[:n].tobytes()
+
+
+def write_params(width: int, height: int, block_size: int, qp: int, which: int) -> bytes:
+    """Parameter-set RBSP payload (0=VPS, 1=SPS, 2=PPS)."""
+    out = np.empty(256, dtype=np.uint8)
+    n = _lib().nhr_write_params(width, height, block_size, qp, which, _u8ptr(out), 256)
+    if n == 0:
+        raise RuntimeError("params overflow")
+    return out[:n].tobytes()

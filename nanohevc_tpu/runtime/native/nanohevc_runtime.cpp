@@ -1,0 +1,414 @@
+// nanohevc-tpu native host runtime: adaptive binary arithmetic entropy
+// codec, residual level coding, and NAL bitstream framing.
+//
+// Role: the sequential-by-nature entropy stage of the encoder.  The TPU
+// produces scan-ordered quantized levels (nanohevc_tpu.ops.scan); this
+// library turns them into a compressed bitstream on the host — and can
+// decode them back bit-exactly (tests do lossless round-trips).
+//
+// The reference implementation declares cabac.py / nal.py but contains
+// no entropy coding at all (/root/reference/README.md:19-21, roadmap
+// docs).  This codec is CABAC-class: context-adaptive binary
+// arithmetic coding (byte-oriented range coder with carry propagation,
+// 15-bit adaptive context probabilities, bypass bins) over an
+// HEVC-flavored residual syntax (coded-block flag, significance map,
+// greater-1/greater-2 flags, exp-Golomb remainders, bypass signs).
+// The NAL layer applies the spec's start-code + emulation-prevention
+// framing and exp-Golomb parameter-set fields.  The payload syntax is
+// framework-defined, not HEVC-decoder conformant — the reference has
+// no bitstream format to be compatible with.
+//
+// Build: g++ -O3 -shared -fPIC (see runtime/build.py).  C ABI only;
+// Python binds via ctypes (runtime/entropy.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bit writer with exp-Golomb, for parameter-set RBSP payloads
+// ---------------------------------------------------------------------------
+
+class BitWriter {
+ public:
+  void put_bit(int b) {
+    cur_ = static_cast<uint8_t>((cur_ << 1) | (b & 1));
+    if (++nbits_ == 8) {
+      buf_.push_back(cur_);
+      cur_ = 0;
+      nbits_ = 0;
+    }
+  }
+
+  void put_bits(uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; --i) put_bit((v >> i) & 1);
+  }
+
+  void put_ue(uint32_t v) {  // Exp-Golomb ue(v)
+    uint64_t x = static_cast<uint64_t>(v) + 1;
+    int len = 0;
+    for (uint64_t t = x; t > 1; t >>= 1) ++len;
+    for (int i = 0; i < len; ++i) put_bit(0);
+    for (int i = len; i >= 0; --i) put_bit((x >> i) & 1);
+  }
+
+  void rbsp_trailing() {  // stop bit + byte alignment
+    put_bit(1);
+    while (nbits_ != 0) put_bit(0);
+  }
+
+  const std::vector<uint8_t>& bytes() const { return buf_; }
+
+ private:
+  std::vector<uint8_t> buf_;
+  uint8_t cur_ = 0;
+  int nbits_ = 0;
+};
+
+// ---------------------------------------------------------------------------
+// Adaptive binary range coder (byte-oriented, carry-propagating)
+// ---------------------------------------------------------------------------
+
+constexpr int kProbBits = 15;
+constexpr uint32_t kProbMax = 1u << kProbBits;  // 32768
+constexpr uint16_t kProbInit = kProbMax / 2;    // p(1) = 0.5
+constexpr int kAdaptShift = 5;
+constexpr uint32_t kTopValue = 1u << 24;
+
+struct Context {
+  uint16_t p1 = kProbInit;
+  void update(int bin) {
+    if (bin)
+      p1 = static_cast<uint16_t>(p1 + ((kProbMax - p1) >> kAdaptShift));
+    else
+      p1 = static_cast<uint16_t>(p1 - (p1 >> kAdaptShift));
+  }
+};
+
+class RangeEncoder {
+ public:
+  explicit RangeEncoder(std::vector<uint8_t>* out) : out_(out) {}
+
+  void encode(Context* ctx, int bin) {
+    uint32_t r1 = split(ctx->p1);
+    if (bin) {
+      range_ = r1;
+    } else {
+      low_ += r1;
+      range_ -= r1;
+    }
+    ctx->update(bin);
+    normalize();
+  }
+
+  void encode_bypass(int bin) {
+    uint32_t half = range_ >> 1;
+    if (bin) {
+      range_ = half;
+    } else {
+      low_ += half;
+      range_ -= half;
+    }
+    normalize();
+  }
+
+  void finish() {
+    for (int i = 0; i < 5; ++i) shift_low();
+  }
+
+ private:
+  uint32_t split(uint32_t p1) const {
+    uint32_t r1 = static_cast<uint32_t>(
+        (static_cast<uint64_t>(range_) * p1) >> kProbBits);
+    if (r1 == 0) r1 = 1;
+    if (r1 >= range_) r1 = range_ - 1;
+    return r1;
+  }
+
+  void normalize() {
+    while (range_ < kTopValue) {
+      shift_low();
+      range_ <<= 8;
+    }
+  }
+
+  void shift_low() {
+    if (static_cast<uint32_t>(low_) < 0xff000000u || (low_ >> 32) != 0) {
+      uint8_t carry = static_cast<uint8_t>(low_ >> 32);
+      if (!first_) out_->push_back(static_cast<uint8_t>(cache_ + carry));
+      first_ = false;
+      while (pending_ > 0) {
+        out_->push_back(static_cast<uint8_t>(0xff + carry));
+        --pending_;
+      }
+      cache_ = static_cast<uint8_t>(low_ >> 24);
+    } else {
+      ++pending_;
+    }
+    low_ = (low_ << 8) & 0xffffffffull;
+  }
+
+  std::vector<uint8_t>* out_;
+  uint64_t low_ = 0;
+  uint32_t range_ = 0xffffffffu;
+  uint8_t cache_ = 0;
+  int pending_ = 0;
+  bool first_ = true;
+};
+
+class RangeDecoder {
+ public:
+  RangeDecoder(const uint8_t* data, size_t n) : data_(data), n_(n) {
+    for (int i = 0; i < 4; ++i) code_ = (code_ << 8) | next_byte();
+  }
+
+  int decode(Context* ctx) {
+    uint32_t r1 = split(ctx->p1);
+    int bin;
+    if (code_ < r1) {
+      bin = 1;
+      range_ = r1;
+    } else {
+      bin = 0;
+      code_ -= r1;
+      range_ -= r1;
+    }
+    ctx->update(bin);
+    normalize();
+    return bin;
+  }
+
+  int decode_bypass() {
+    uint32_t half = range_ >> 1;
+    int bin;
+    if (code_ < half) {
+      bin = 1;
+      range_ = half;
+    } else {
+      bin = 0;
+      code_ -= half;
+      range_ -= half;
+    }
+    normalize();
+    return bin;
+  }
+
+ private:
+  uint32_t split(uint32_t p1) const {
+    uint32_t r1 = static_cast<uint32_t>(
+        (static_cast<uint64_t>(range_) * p1) >> kProbBits);
+    if (r1 == 0) r1 = 1;
+    if (r1 >= range_) r1 = range_ - 1;
+    return r1;
+  }
+
+  void normalize() {
+    while (range_ < kTopValue) {
+      code_ = (code_ << 8) | next_byte();
+      range_ <<= 8;
+    }
+  }
+
+  uint8_t next_byte() { return pos_ < n_ ? data_[pos_++] : 0; }
+
+  const uint8_t* data_;
+  size_t n_;
+  size_t pos_ = 0;
+  uint32_t code_ = 0;
+  uint32_t range_ = 0xffffffffu;
+};
+
+// ---------------------------------------------------------------------------
+// Residual level syntax (HEVC-flavored, framework-defined)
+// ---------------------------------------------------------------------------
+//
+// Per block of `ncoef` scan-ordered levels:
+//   coded_block_flag                      1 ctx bin
+//   if coded, per position p:
+//     sig_coeff_flag[p]    ctx keyed by min(p, 31)
+//     if sig: abs_gt1 (ctx), abs_gt2 (ctx), remainder (EG0 bypass),
+//             sign (bypass)
+// Context state persists across blocks within one encode call and is
+// re-initialized identically by the decoder.
+
+struct ResidualContexts {
+  Context cbf;
+  Context sig[32];
+  Context gt1;
+  Context gt2;
+};
+
+void encode_eg0(RangeEncoder* enc, uint32_t v) {
+  uint64_t x = static_cast<uint64_t>(v) + 1;
+  int len = 0;
+  for (uint64_t t = x; t > 1; t >>= 1) ++len;
+  for (int i = 0; i < len; ++i) enc->encode_bypass(1);
+  enc->encode_bypass(0);
+  for (int i = len - 1; i >= 0; --i) enc->encode_bypass((x >> i) & 1);
+}
+
+uint32_t decode_eg0(RangeDecoder* dec) {
+  int len = 0;
+  while (dec->decode_bypass()) ++len;
+  uint64_t x = 1;
+  for (int i = 0; i < len; ++i) x = (x << 1) | dec->decode_bypass();
+  return static_cast<uint32_t>(x - 1);
+}
+
+void encode_block(RangeEncoder* enc, ResidualContexts* cx,
+                  const int32_t* levels, int32_t ncoef) {
+  int has = 0;
+  for (int32_t i = 0; i < ncoef; ++i) has |= (levels[i] != 0);
+  enc->encode(&cx->cbf, has);
+  if (!has) return;
+  for (int32_t p = 0; p < ncoef; ++p) {
+    int32_t l = levels[p];
+    int sig = l != 0;
+    enc->encode(&cx->sig[p < 31 ? p : 31], sig);
+    if (!sig) continue;
+    uint32_t a = l < 0 ? static_cast<uint32_t>(-(int64_t)l)
+                       : static_cast<uint32_t>(l);
+    int gt1 = a > 1;
+    enc->encode(&cx->gt1, gt1);
+    if (gt1) {
+      int gt2 = a > 2;
+      enc->encode(&cx->gt2, gt2);
+      if (gt2) encode_eg0(enc, a - 3);
+    }
+    enc->encode_bypass(l < 0);
+  }
+}
+
+void decode_block(RangeDecoder* dec, ResidualContexts* cx, int32_t* levels,
+                  int32_t ncoef) {
+  int has = dec->decode(&cx->cbf);
+  if (!has) {
+    std::memset(levels, 0, sizeof(int32_t) * ncoef);
+    return;
+  }
+  for (int32_t p = 0; p < ncoef; ++p) {
+    int sig = dec->decode(&cx->sig[p < 31 ? p : 31]);
+    if (!sig) {
+      levels[p] = 0;
+      continue;
+    }
+    uint32_t a = 1;
+    if (dec->decode(&cx->gt1)) {
+      a = 2;
+      if (dec->decode(&cx->gt2)) a = 3 + decode_eg0(dec);
+    }
+    levels[p] = dec->decode_bypass() ? -static_cast<int32_t>(a)
+                                     : static_cast<int32_t>(a);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// NAL framing (start codes, header, emulation prevention)
+// ---------------------------------------------------------------------------
+
+size_t wrap_nal(uint8_t nal_type, const uint8_t* payload, size_t n,
+                uint8_t* out, size_t cap) {
+  std::vector<uint8_t> buf;
+  buf.reserve(n + 16);
+  // start_code_prefix_one_3bytes with leading zero (first NAL style)
+  buf.push_back(0);
+  buf.push_back(0);
+  buf.push_back(0);
+  buf.push_back(1);
+  // nal_unit_header: forbidden_zero_bit, nal_unit_type(6),
+  // nuh_layer_id(6)=0, nuh_temporal_id_plus1(3)=1
+  buf.push_back(static_cast<uint8_t>((nal_type & 0x3f) << 1));
+  buf.push_back(0x01);
+  // payload with emulation_prevention_three_byte stuffing
+  int zeros = 0;
+  for (size_t i = 0; i < n; ++i) {
+    uint8_t b = payload[i];
+    if (zeros >= 2 && b <= 3) {
+      buf.push_back(3);
+      zeros = 0;
+    }
+    buf.push_back(b);
+    zeros = (b == 0) ? zeros + 1 : 0;
+  }
+  if (buf.size() > cap) return 0;
+  std::memcpy(out, buf.data(), buf.size());
+  return buf.size();
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Encode nb blocks of ncoef scan-ordered levels.  Returns byte count,
+// or -1 if `cap` is too small.
+int64_t nhr_encode_levels(const int32_t* levels, int64_t nb, int32_t ncoef,
+                          uint8_t* out, int64_t cap) {
+  std::vector<uint8_t> buf;
+  buf.reserve(static_cast<size_t>(nb) * ncoef / 4 + 64);
+  RangeEncoder enc(&buf);
+  ResidualContexts cx;
+  for (int64_t b = 0; b < nb; ++b) {
+    encode_block(&enc, &cx, levels + b * ncoef, ncoef);
+  }
+  enc.finish();
+  if (static_cast<int64_t>(buf.size()) > cap) return -1;
+  std::memcpy(out, buf.data(), buf.size());
+  return static_cast<int64_t>(buf.size());
+}
+
+// Decode nb blocks back.  Returns 0 on success.
+int64_t nhr_decode_levels(const uint8_t* data, int64_t nbytes, int64_t nb,
+                          int32_t ncoef, int32_t* out) {
+  RangeDecoder dec(data, static_cast<size_t>(nbytes));
+  ResidualContexts cx;
+  for (int64_t b = 0; b < nb; ++b) {
+    decode_block(&dec, &cx, out + b * ncoef, ncoef);
+  }
+  return 0;
+}
+
+// Wrap a payload into a NAL unit (start code + header + emulation
+// prevention).  Returns byte count, 0 if cap too small.
+int64_t nhr_wrap_nal(uint8_t nal_type, const uint8_t* payload, int64_t n,
+                     uint8_t* out, int64_t cap) {
+  return static_cast<int64_t>(
+      wrap_nal(nal_type, payload, static_cast<size_t>(n), out,
+               static_cast<size_t>(cap)));
+}
+
+// Minimal parameter-set RBSP (framework-defined fields, spec-style
+// exp-Golomb coding).  which: 0=VPS, 1=SPS, 2=PPS.  Returns byte count.
+int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
+                         int32_t qp, uint8_t which, uint8_t* out,
+                         int64_t cap) {
+  BitWriter bw;
+  bw.put_bits(0x4e48u, 16);  // "NH" magic
+  bw.put_bits(which, 8);
+  if (which == 0) {          // VPS: version info
+    bw.put_ue(1);            // vps_version
+    bw.put_ue(0);            // reserved
+  } else if (which == 1) {   // SPS: geometry
+    bw.put_ue(static_cast<uint32_t>(width));
+    bw.put_ue(static_cast<uint32_t>(height));
+    bw.put_ue(static_cast<uint32_t>(block_size));
+    bw.put_ue(1);            // chroma_format_idc: 4:2:0
+    bw.put_ue(0);            // bit_depth_luma_minus8
+  } else {                   // PPS: coding params
+    bw.put_ue(static_cast<uint32_t>(qp));
+    bw.put_ue(0);            // scan_idx: diag
+  }
+  bw.rbsp_trailing();
+  if (static_cast<int64_t>(bw.bytes().size()) > cap) return 0;
+  std::memcpy(out, bw.bytes().data(), bw.bytes().size());
+  return static_cast<int64_t>(bw.bytes().size());
+}
+
+int32_t nhr_version() { return 10; }
+
+}  // extern "C"

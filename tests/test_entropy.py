@@ -1,0 +1,110 @@
+"""Native entropy runtime tests: build, round-trips, compression, NAL."""
+
+import numpy as np
+import pytest
+
+from nanohevc_tpu.runtime import (
+    assemble_bitstream,
+    decode_levels,
+    encode_levels,
+    parse_bitstream,
+    wrap_nal,
+    write_params,
+)
+
+
+def sparse_levels(rng, nb, ncoef, density=0.1, amp=10):
+    x = rng.integers(-amp, amp + 1, (nb, ncoef)).astype(np.int32)
+    mask = rng.random((nb, ncoef)) < density
+    return np.where(mask, x, 0).astype(np.int32)
+
+
+class TestRangeCodecRoundTrip:
+    @pytest.mark.parametrize("ncoef", [16, 64, 256, 1024])
+    def test_sparse(self, ncoef):
+        rng = np.random.default_rng(0)
+        levels = sparse_levels(rng, 100, ncoef)
+        data = encode_levels(levels)
+        assert np.array_equal(decode_levels(data, 100, ncoef), levels)
+
+    def test_all_zero_blocks(self):
+        levels = np.zeros((50, 64), np.int32)
+        data = encode_levels(levels)
+        assert len(data) < 40  # one cbf bin per block, heavily adapted
+        assert np.array_equal(decode_levels(data, 50, 64), levels)
+
+    def test_dense_large_magnitudes(self):
+        rng = np.random.default_rng(1)
+        levels = rng.integers(-3000, 3000, (20, 64)).astype(np.int32)
+        data = encode_levels(levels)
+        assert np.array_equal(decode_levels(data, 20, 64), levels)
+
+    def test_extreme_values(self):
+        levels = np.array([[2**30, -(2**30), 1, -1] + [0] * 12], np.int32)
+        data = encode_levels(levels)
+        assert np.array_equal(decode_levels(data, 1, 16), levels)
+
+    def test_carry_stress(self):
+        """Alternating patterns provoke range-coder carry propagation."""
+        rng = np.random.default_rng(2)
+        for trial in range(20):
+            levels = sparse_levels(rng, 37, 64, density=0.5, amp=2000)
+            data = encode_levels(levels)
+            assert np.array_equal(decode_levels(data, 37, 64), levels), trial
+
+    def test_compression_beats_raw(self):
+        """Typical QP22 level statistics compress far below raw int32."""
+        rng = np.random.default_rng(3)
+        levels = sparse_levels(rng, 32400, 64, density=0.05, amp=8)
+        data = encode_levels(levels)
+        raw = levels.size * 4
+        assert len(data) < raw / 10
+
+
+class TestNAL:
+    def test_wrap_has_start_code_and_header(self):
+        out = wrap_nal(33, b"\x12\x34")
+        assert out.startswith(b"\x00\x00\x00\x01")
+        assert (out[4] >> 1) & 0x3F == 33
+        assert out.endswith(b"\x12\x34")
+
+    def test_emulation_prevention(self):
+        payload = b"\x00\x00\x00\x00\x01\x00\x00\x02"
+        out = wrap_nal(1, payload)
+        body = out[6:]
+        # no 00 00 0x sequences survive un-stuffed
+        for i in range(len(body) - 2):
+            if body[i] == 0 and body[i + 1] == 0:
+                assert body[i + 2] == 3
+
+    def test_params_payloads_distinct(self):
+        vps = write_params(1920, 1080, 8, 22, 0)
+        sps = write_params(1920, 1080, 8, 22, 1)
+        pps = write_params(1920, 1080, 8, 22, 2)
+        assert vps[:2] == b"NH" and sps[:2] == b"NH"
+        assert len({vps, sps, pps}) == 3
+
+
+class TestBitstream:
+    def test_frame_roundtrip_with_modes(self):
+        rng = np.random.default_rng(4)
+        planes = {
+            "Y": (sparse_levels(rng, 64, 64), 8),
+            "U": (sparse_levels(rng, 16, 16), 4),
+            "V": (sparse_levels(rng, 16, 16), 4),
+        }
+        modes = {k: rng.integers(0, 35, v[0].shape[0]).astype(np.int32)
+                 for k, v in planes.items()}
+        bs = assemble_bitstream(64, 64, 22, planes, modes)
+        assert bs.count(b"\x00\x00\x00\x01") >= 6  # 3 param sets + 3 slices
+        back = parse_bitstream(bs)
+        for name, (levels, bsz) in planes.items():
+            assert np.array_equal(back[name]["levels"], levels), name
+            assert np.array_equal(back[name]["modes"], modes[name]), name
+            assert back[name]["block_size"] == bsz
+
+    def test_empty_frame_no_modes(self):
+        planes = {"Y": (np.zeros((4, 64), np.int32), 8)}
+        back = parse_bitstream(assemble_bitstream(16, 16, 30, planes))
+        assert np.array_equal(back["Y"]["levels"], planes["Y"][0])
+        assert back["Y"]["modes"] is None
