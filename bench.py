@@ -3,22 +3,37 @@
 Measures the flagship path (BASELINE.json north star): tile ->
 neighbor refs -> DC/planar mode decision -> predict -> residual ->
 8x8 DCT -> quantize(QP22) -> scan-pack -> dequantize -> inverse ->
-reconstruct -> clip, as one jitted device graph, end to end, on
-whatever backend the ambient environment provides (the real TPU chip
-under the driver).
+reconstruct -> clip, on the ambient backend (the real TPU chip under
+the driver).
 
 Prints ONE JSON line:
   {"metric": ..., "value": Mpix/s, "unit": "Mpix/s", "vs_baseline": x}
 
 vs_baseline is the speedup over the reference's measured full-pipeline
-rate of ~0.10 Mpix/s on one CPU core (BASELINE.md).  A bit-exactness
-spot check against the numpy oracle runs first and is reported on
-stderr; the benchmark aborts if any block mismatches.
+rate of ~0.10 Mpix/s on one CPU core (BASELINE.md).
+
+Methodology, shaped by the axon tunnel's failure modes (device->host
+transfers are slow, occasionally wedge, and block_until_ready is not
+a trustworthy sync):
+- K chained pipeline iterations run inside ONE jitted lax.fori_loop
+  (each iteration consumes the previous reconstruction), so the
+  measurement is pure device throughput with no per-frame dispatch;
+- completion is proven by fetching a single scalar while the device
+  is otherwise idle;
+- the figure is differential - time(K=big) - time(K=small) - so the
+  constant fetch latency cancels;
+- the whole run executes in a subprocess with a timeout and retries,
+  so a wedged transfer cannot hang the driver.
+
+A 256-block bit-exactness check against the numpy oracle gates the
+result (any mismatch -> exit 1).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -26,7 +41,9 @@ import numpy as np
 
 BASELINE_MPIX_S = 0.10  # reference full per-block pipeline, BASELINE.md
 H, W, N, QP = 1080, 1920, 8, 22
-WARMUP, ITERS = 3, 20
+K_SMALL, K_BIG = 100, 8100
+ATTEMPT_TIMEOUT_S = 600
+ATTEMPTS = 3
 
 
 def log(*a):
@@ -34,11 +51,9 @@ def log(*a):
 
 
 def check_bit_exact(fn, plane, qp, host_plane) -> float:
-    """% of blocks whose full pipeline output matches the numpy oracle.
+    """% of 256 sampled blocks matching the numpy oracle bit-for-bit.
 
-    The axon tunnel's device->host path is slow (~MB/s), so only the
-    256 sampled blocks are fetched: a device-side gather cuts the
-    transfer from ~25 MB to ~130 KB.
+    Only the sampled blocks are fetched (device-side gather, ~130 KB).
     """
     import jax
     import jax.numpy as jnp
@@ -55,60 +70,76 @@ def check_bit_exact(fn, plane, qp, host_plane) -> float:
     @jax.jit
     def run_and_gather(p, q):
         out = fn(p, q)
-        return (
-            scan_unpack(out["levels"])[idx],
-            tile_plane(out["recon"], N)[idx],
-        )
+        return scan_unpack(out["levels"])[idx], tile_plane(out["recon"], N)[idx]
 
     levels_s, recon_s = run_and_gather(plane, qp)
     levels_s = np.asarray(levels_s)
     recon_s = np.asarray(recon_s)
 
     p = host_plane
-    src_blocks = {
-        b: p[(b // nbx) * N : (b // nbx) * N + N, (b % nbx) * N : (b % nbx) * N + N]
-        for b in sample
-    }
     bad = 0
     for k, b in enumerate(sample):
         y0, x0 = (b // nbx) * N, (b % nbx) * N
+        blk = p[y0 : y0 + N, x0 : x0 + N]
         top = np.full(N, 128, np.int16) if y0 == 0 else p[y0 - 1, x0 : x0 + N].astype(np.int16)
         left = np.full(N, 128, np.int16) if x0 == 0 else p[y0 : y0 + N, x0 - 1].astype(np.int16)
         dc = oracle.intra_dc_predict(top, left, N)
-        pl = oracle.intra_planar_predict(top, left, int(top[-1]), int(left[-1]), N)
-        e_dc = oracle.residual_energy(oracle.residual_block(src_blocks[b], dc))
-        e_pl = oracle.residual_energy(oracle.residual_block(src_blocks[b], pl))
-        pred = dc if e_dc <= e_pl else pl
-        res = src_blocks[b].astype(np.int32) - pred.astype(np.int32)
-        coeff = oracle.forward_transform(res)
-        lvl = oracle.quantize(coeff, QP, N)
-        rec = oracle.dequantize(lvl, QP, N)
-        inv = oracle.inverse_transform(rec)
+        pln = oracle.intra_planar_predict(top, left, int(top[-1]), int(left[-1]), N)
+        e_dc = oracle.residual_energy(oracle.residual_block(blk, dc))
+        e_pl = oracle.residual_energy(oracle.residual_block(blk, pln))
+        pred = dc if e_dc <= e_pl else pln
+        res = blk.astype(np.int32) - pred.astype(np.int32)
+        lvl = oracle.quantize(oracle.forward_transform(res), QP, N)
+        inv = oracle.inverse_transform(oracle.dequantize(lvl, QP, N))
         recon = np.clip(pred.astype(np.int32) + inv, 0, 255)
         if not (np.array_equal(lvl, levels_s[k]) and np.array_equal(recon, recon_s[k])):
             bad += 1
     return 100.0 * (len(sample) - bad) / len(sample)
 
 
-def main() -> None:
+def run_bench() -> None:
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import entry
 
     log(f"backend: {jax.devices()}")
     fn_raw, (plane, qp) = entry()
-    fn = jax.jit(fn_raw)
     host_plane = np.random.default_rng(0).integers(0, 256, (H, W)).astype(np.int32)
-    assert np.array_equal(host_plane[:2, :8], np.asarray(plane[:2, :8])), (
-        "entry() example plane must match bench host seed"
-    )
+
+    def make_chain(k):
+        @jax.jit
+        def chain(x, q):
+            def body(_, carry):
+                return fn_raw(carry, q)["recon"]
+
+            return jax.lax.fori_loop(0, k, body, x)
+
+        return chain
+
+    chain_small = make_chain(K_SMALL)
+    chain_big = make_chain(K_BIG)
 
     t0 = time.time()
-    out = fn(plane, qp)
-    out["recon"].block_until_ready()
-    log(f"compile+first run: {time.time() - t0:.1f}s")
+    out = chain_small(plane, qp)
+    sync = int(out[0, 0])
+    log(f"compile+first chain({K_SMALL}): {time.time() - t0:.1f}s (sync={sync})")
+
+    t0 = time.time()
+    out = chain_small(plane, qp)
+    _ = int(out[0, 0])
+    t_small = time.time() - t0
+
+    t0 = time.time()
+    out = chain_big(plane, qp)
+    _ = int(out[0, 0])
+    t_big = time.time() - t0
+
+    per_frame = max((t_big - t_small) / (K_BIG - K_SMALL), 1e-9)
+    mpix_s = (H * W) / per_frame / 1e6
+    log(f"t({K_SMALL})={t_small*1e3:.0f} ms, t({K_BIG})={t_big*1e3:.0f} ms "
+        f"-> {per_frame*1e3:.3f} ms/frame, {mpix_s:.1f} Mpix/s")
 
     pct = check_bit_exact(fn_raw, plane, qp, host_plane)
     log(f"bit-exact blocks vs numpy oracle: {pct:.1f}% (256 sampled)")
@@ -117,25 +148,43 @@ def main() -> None:
                           "unit": "%", "vs_baseline": 0.0}))
         sys.exit(1)
 
-    for _ in range(WARMUP):
-        out = fn(plane, qp)
-    out["recon"].block_until_ready()
-
-    t0 = time.time()
-    for _ in range(ITERS):
-        out = fn(plane, qp)
-    out["recon"].block_until_ready()
-    dt = time.time() - t0
-
-    mpix_s = (H * W * ITERS) / dt / 1e6
-    log(f"{ITERS} frames in {dt * 1e3:.1f} ms -> {mpix_s:.1f} Mpix/s "
-        f"({dt / ITERS * 1e3:.2f} ms/frame)")
     print(json.dumps({
         "metric": "1080p all-intra luma full pipeline (predict+DCT+Q+IQ+recon), 1 chip",
         "value": round(mpix_s, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 1),
     }))
+
+
+def main() -> None:
+    if os.environ.get("NANOHEVC_BENCH_INNER") == "1":
+        run_bench()
+        return
+    env = dict(os.environ, NANOHEVC_BENCH_INNER="1")
+    for attempt in range(1, ATTEMPTS + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                timeout=ATTEMPT_TIMEOUT_S,
+                capture_output=True,
+                text=True,
+            )
+            sys.stderr.write(proc.stderr)
+            if proc.returncode == 0 and proc.stdout.strip():
+                sys.stdout.write(proc.stdout)
+                return
+            log(f"attempt {attempt} failed (rc={proc.returncode})")
+        except subprocess.TimeoutExpired as e:
+            if e.stderr:
+                sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                                 else e.stderr.decode())
+            log(f"attempt {attempt} timed out after {ATTEMPT_TIMEOUT_S}s "
+                "(axon tunnel wedge?)")
+        time.sleep(10)
+    print(json.dumps({"metric": "BENCH FAILED (tunnel wedge)", "value": 0.0,
+                      "unit": "Mpix/s", "vs_baseline": 0.0}))
+    sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,40 @@ def untile_plane(
     return out.at[: nby * n, : nbx * n].set(body)
 
 
+def extract_refs_at(
+    plane: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, n: int
+) -> jnp.ndarray:
+    """Neighbor extraction for an arbitrary set of block origins.
+
+    (H, W), (m,) block-row indices, (m,) block-col indices -> (m, 4N+2)
+    in the same layout as extract_refs.  Used by the closed-loop
+    wavefront encoder, where each anti-diagonal's blocks read
+    neighbors from the evolving reconstruction.
+    """
+    h, w = plane.shape
+    p = plane.astype(jnp.int32)
+    y0 = (ys * n)[:, None]
+    x0 = (xs * n)[:, None]
+    i = jnp.arange(2 * n + 1, dtype=jnp.int32)[None, :]
+
+    tcol = jnp.clip(x0 + (i - 1), 0, w - 1)
+    trow = jnp.clip(y0 - 1, 0, h - 1)
+    top = p[jnp.broadcast_to(trow, tcol.shape), tcol]
+    top = jnp.where(y0 == 0, BOUNDARY_FILL, top)
+    top = top.at[:, 0].set(
+        jnp.where((y0[:, 0] == 0) | (x0[:, 0] == 0), BOUNDARY_FILL, top[:, 0])
+    )
+
+    lrow = jnp.clip(y0 + (i - 1), 0, h - 1)
+    lcol = jnp.clip(x0 - 1, 0, w - 1)
+    left = p[lrow, jnp.broadcast_to(lcol, lrow.shape)]
+    left = jnp.where(x0 == 0, BOUNDARY_FILL, left)
+    left = left.at[:, 0].set(
+        jnp.where((y0[:, 0] == 0) | (x0[:, 0] == 0), BOUNDARY_FILL, left[:, 0])
+    )
+    return jnp.concatenate([top, left], axis=-1)
+
+
 def extract_refs(plane: jnp.ndarray, n: int) -> jnp.ndarray:
     """Batched neighbor extraction: (H, W) -> (nb, 4N+2) int32.
 

@@ -1,0 +1,62 @@
+"""Fused Pallas kernel vs jnp ops path: bit-exactness (interpret mode).
+
+On CPU the kernel runs through the Pallas interpreter; on TPU the same
+code compiles via Mosaic.  Both must match the XLA ops path (which is
+itself oracle-verified in test_parity.py) bit-for-bit.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nanohevc_tpu import ops
+from nanohevc_tpu.kernels import fused_encode_blocks
+from nanohevc_tpu.models.all_intra import decide_modes
+
+
+def reference_path(plane, n, qp):
+    blocks = ops.tile_plane(plane, n)
+    refs = ops.extract_refs(plane, n)
+    pred, _ = decide_modes(blocks, refs, n, "dc_planar", "energy")
+    res = blocks - pred
+    coeff = ops.forward_transform(res, False)
+    levels = ops.quantize(coeff, qp, n, True)
+    deq = ops.dequantize(levels, qp, n)
+    rec = ops.inverse_transform(deq, False)
+    recon = jnp.clip(pred + rec, 0, 255)
+    return blocks, refs, recon, levels
+
+
+class TestFusedKernel:
+    @pytest.mark.parametrize("n", [4, 8, 16, 32])
+    def test_bit_exact_vs_ops_path(self, n):
+        rng = np.random.default_rng(0)
+        plane = jnp.asarray(rng.integers(0, 256, (4 * n, 8 * n)).astype(np.int32))
+        blocks, refs, want_recon, want_levels = reference_path(plane, n, 22)
+        recon, levels = fused_encode_blocks(
+            blocks, refs, 22, chunk=8, interpret=True
+        )
+        assert np.array_equal(np.asarray(levels), np.asarray(want_levels))
+        assert np.array_equal(np.asarray(recon), np.asarray(want_recon))
+
+    @pytest.mark.parametrize("qp", [0, 17, 37, 51])
+    def test_qp_sweep(self, qp):
+        n = 8
+        rng = np.random.default_rng(qp)
+        plane = jnp.asarray(rng.integers(0, 256, (32, 64)).astype(np.int32))
+        blocks, refs, want_recon, want_levels = reference_path(plane, n, qp)
+        recon, levels = fused_encode_blocks(blocks, refs, qp, chunk=8, interpret=True)
+        assert np.array_equal(np.asarray(levels), np.asarray(want_levels))
+        assert np.array_equal(np.asarray(recon), np.asarray(want_recon))
+
+    def test_padding_path(self):
+        """nb not divisible by chunk exercises the pad/trim logic."""
+        n = 8
+        rng = np.random.default_rng(3)
+        plane = jnp.asarray(rng.integers(0, 256, (24, 40)).astype(np.int32))  # 15 blocks
+        blocks, refs, want_recon, want_levels = reference_path(plane, n, 30)
+        recon, levels = fused_encode_blocks(blocks, refs, 30, chunk=8, interpret=True)
+        assert recon.shape == blocks.shape
+        assert np.array_equal(np.asarray(levels), np.asarray(want_levels))
+        assert np.array_equal(np.asarray(recon), np.asarray(want_recon))

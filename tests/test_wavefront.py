@@ -1,0 +1,130 @@
+"""Closed-loop wavefront encoder/decoder tests.
+
+The key property the reference cannot offer: encode -> (modes, levels)
+-> decode reproduces the encoder's reconstruction pixel-exactly,
+because prediction is causal over reconstructed neighbors.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nanohevc_tpu import ref as oracle
+from nanohevc_tpu.models.wavefront import decode_plane, encode_plane_closed_loop
+
+
+def simulate_closed_loop(plane: np.ndarray, n: int, qp: int):
+    """Sequential per-block oracle simulation of the wavefront encode."""
+    h, w = plane.shape
+    recon = np.zeros((h, w), np.int32)
+    levels_out = []
+    modes_out = []
+    for y0 in range(0, h - n + 1, n):
+        for x0 in range(0, w - n + 1, n):
+            orig = plane[y0 : y0 + n, x0 : x0 + n].astype(np.int16)
+            top = (
+                np.full(n, 128, np.int16)
+                if y0 == 0
+                else recon[y0 - 1, x0 : x0 + n].astype(np.int16)
+            )
+            left = (
+                np.full(n, 128, np.int16)
+                if x0 == 0
+                else recon[y0 : y0 + n, x0 - 1].astype(np.int16)
+            )
+            dc = oracle.intra_dc_predict(top, left, n)
+            pl = oracle.intra_planar_predict(
+                top, left, int(top[-1]), int(left[-1]), n
+            )
+            e_dc = oracle.residual_energy(oracle.residual_block(orig, dc))
+            e_pl = oracle.residual_energy(oracle.residual_block(orig, pl))
+            pred, mode = (dc, 1) if e_dc <= e_pl else (pl, 0)
+            res = orig.astype(np.int32) - pred.astype(np.int32)
+            lvl = oracle.quantize(oracle.forward_transform(res), qp, n)
+            inv = oracle.inverse_transform(oracle.dequantize(lvl, qp, n))
+            rb = np.clip(pred.astype(np.int32) + inv, 0, 255)
+            recon[y0 : y0 + n, x0 : x0 + n] = rb
+            levels_out.append(lvl)
+            modes_out.append(mode)
+    return recon, np.stack(levels_out), np.asarray(modes_out)
+
+
+class TestClosedLoopEncode:
+    @pytest.mark.parametrize("n", [4, 8])
+    def test_matches_sequential_oracle(self, n):
+        """Wavefront-parallel == sequential per-block, bit-for-bit."""
+        rng = np.random.default_rng(0)
+        plane = rng.integers(0, 256, (4 * n, 6 * n)).astype(np.int32)
+        out = encode_plane_closed_loop(jnp.asarray(plane), jnp.int32(20), n=n)
+        want_recon, want_levels, want_modes = simulate_closed_loop(plane, n, 20)
+        assert np.array_equal(np.asarray(out["recon"]), want_recon)
+        assert np.array_equal(np.asarray(out["modes"]), want_modes)
+        from nanohevc_tpu.ops import scan_unpack
+
+        got_levels = np.asarray(scan_unpack(out["levels"]))
+        assert np.array_equal(got_levels, want_levels)
+
+    def test_differs_from_open_loop(self):
+        """Closed-loop recon must differ from source-fed prediction
+        (proves neighbors actually come from the reconstruction)."""
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+
+        rng = np.random.default_rng(1)
+        plane = jnp.asarray(rng.integers(0, 256, (32, 32)).astype(np.int32))
+        closed = encode_plane_closed_loop(plane, jnp.int32(35), n=4)
+        open_ = encode_plane_full(plane, jnp.int32(35), n=4)
+        assert not np.array_equal(
+            np.asarray(closed["recon"]), np.asarray(open_["recon"])
+        )
+
+
+class TestDecoder:
+    @pytest.mark.parametrize("n", [4, 8])
+    @pytest.mark.parametrize("qp", [10, 30, 50])
+    def test_decode_reproduces_encoder_recon(self, n, qp):
+        rng = np.random.default_rng(2)
+        h, w = 4 * n, 5 * n
+        plane = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.int32))
+        enc = encode_plane_closed_loop(plane, jnp.int32(qp), n=n)
+        dec = decode_plane(
+            enc["levels"], enc["modes"], jnp.int32(qp), n=n, height=h, width=w
+        )
+        assert np.array_equal(np.asarray(dec), np.asarray(enc["recon"]))
+
+    def test_decode_through_bitstream(self):
+        """encode -> entropy bitstream -> parse -> decode, pixel-exact."""
+        from nanohevc_tpu.runtime import assemble_bitstream, parse_bitstream
+
+        rng = np.random.default_rng(3)
+        h, w = 32, 48
+        plane = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.int32))
+        enc = encode_plane_closed_loop(plane, jnp.int32(22), n=8)
+        bs = assemble_bitstream(
+            w, h, 22,
+            {"Y": (np.asarray(enc["levels"]), 8)},
+            {"Y": np.asarray(enc["modes"])},
+        )
+        parsed = parse_bitstream(bs)["Y"]
+        dec = decode_plane(
+            jnp.asarray(parsed["levels"]),
+            jnp.asarray(parsed["modes"]),
+            jnp.int32(22),
+            n=8,
+            height=h,
+            width=w,
+        )
+        assert np.array_equal(np.asarray(dec), np.asarray(enc["recon"]))
+
+    def test_mode_search_closed_loop_roundtrip(self):
+        rng = np.random.default_rng(4)
+        h, w = 32, 32
+        plane = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.int32))
+        enc = encode_plane_closed_loop(
+            plane, jnp.int32(18), n=4, mode_set="all", decision="satd"
+        )
+        dec = decode_plane(
+            enc["levels"], enc["modes"], jnp.int32(18), n=4, height=h, width=w
+        )
+        assert np.array_equal(np.asarray(dec), np.asarray(enc["recon"]))
+        assert np.asarray(enc["modes"]).max() >= 2  # some angular chosen
