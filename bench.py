@@ -38,7 +38,7 @@ import numpy as np
 
 BASELINE_MPIX_S = 0.10  # reference full per-block pipeline, BASELINE.md
 H, W, N, QP = 1080, 1920, 8, 22
-FRAMES, WARMUP, ITERS = 8, 3, 20
+FRAMES, WARMUP, ITERS = 32, 3, 20
 ATTEMPT_TIMEOUT_S = 600
 ATTEMPTS = 3
 

@@ -138,6 +138,41 @@ def cmd_encode(args: argparse.Namespace) -> None:
             )
 
 
+def cmd_encode_seq(args: argparse.Namespace) -> None:
+    from nanohevc_tpu.config import EncoderConfig
+    from nanohevc_tpu.models.sequence import encode_sequence
+
+    config = EncoderConfig(
+        block_size=args.block_size,
+        qp=args.qp,
+        mode_set="all" if args.mode_search else "dc_planar",
+        decision="satd" if args.mode_search else "energy",
+    )
+    res = encode_sequence(
+        args.input,
+        args.width,
+        args.height,
+        args.frames,
+        config,
+        args.bitstream,
+        batch=args.batch,
+        resume=not args.no_resume,
+        report_every=args.report_every,
+    )
+    print("\nSequence results:")
+    if res.resumed_from:
+        print(f"  Resumed from frame {res.resumed_from}")
+    print(f"  Frames: {res.frames}")
+    print(f"  Bitstream: {args.bitstream} ({res.bytes_written} bytes)")
+    print(f"  Mean Y-PSNR: {res.mean_psnr_y:.2f} dB")
+    tp = res.stats["throughput"]
+    print(f"  Throughput: {tp['mpix_per_s']:.2f} Mpix/s "
+          f"({tp['pixels']/1e6:.1f} Mpix in {tp['seconds']:.2f}s)")
+    for stage, s in res.stats.items():
+        if stage != "throughput":
+            print(f"    {stage:8s} {s['total_s']:8.3f}s over {s['calls']} calls")
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         prog="nano-hevc-tpu",
@@ -176,6 +211,25 @@ def main(argv: list[str] | None = None) -> None:
         "(full pipeline only)",
     )
     enc.set_defaults(func=cmd_encode)
+
+    seq = sub.add_parser(
+        "encode-seq", help="Encode a multi-frame YUV420p sequence to a bitstream"
+    )
+    seq.add_argument("input", help="Input YUV420p sequence file")
+    seq.add_argument("--width", type=int, required=True)
+    seq.add_argument("--height", type=int, required=True)
+    seq.add_argument("--frames", type=int, required=True, help="Frames to encode")
+    seq.add_argument("--block-size", type=int, default=8)
+    seq.add_argument("--qp", type=int, default=22)
+    seq.add_argument("--batch", type=int, default=8, help="Frames per device batch")
+    seq.add_argument("--bitstream", required=True, help="Output bitstream path")
+    seq.add_argument("--mode-search", action="store_true")
+    seq.add_argument(
+        "--no-resume", action="store_true",
+        help="ignore existing progress sidecar and start over",
+    )
+    seq.add_argument("--report-every", type=int, default=0)
+    seq.set_defaults(func=cmd_encode_seq)
 
     args = parser.parse_args(argv)
     args.func(args)

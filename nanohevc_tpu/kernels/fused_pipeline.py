@@ -1,22 +1,31 @@
 """Fused all-intra block pipeline as one Pallas TPU kernel.
 
-One kernel launch processes the whole frame: for each chunk of blocks
-(grid dimension) it runs DC + planar prediction, energy-based mode
+One kernel launch processes the whole frame: each grid step takes a
+chunk of C blocks through DC + planar prediction, energy-based mode
 decision, residual, two-pass forward DCT, quantization, dequantization,
 two-pass inverse DCT, reconstruction and clipping — entirely in VMEM.
 The XLA path (ops/ + models/all_intra.py) materializes each stage to
 HBM between fusion islands; this kernel reads the block tensor once
 and writes recon + levels once, the HBM-bandwidth floor for the op.
 
-Numerics: transforms run on the MXU in float32, which is exact here —
-every accumulator is an integer bounded by 32*90*2047 < 2^24 for
-8-bit video (see ops/transform.py for the bound derivation); rounding
-shifts are floor(x * 2^-s) on integer-valued floats.  Quant/dequant
-stay in int32 on the VPU.  Bit-exactness vs the jnp path (and hence
-the numpy oracle / reference) is asserted in tests/test_pallas.py.
+Layout: blocks-last.  In the natural (C, N, N) layout the N-wide lane
+dimension pads to 128 (16x VMEM waste at N=8 — it OOM'd scoped vmem).
+Instead each chunk is held as (N, N, C) with the block axis on the
+128-lane dimension: every element-wise op and every unrolled
+transform FMA is lane-parallel across C blocks with zero padding
+waste.  The (nb, N, N) <-> (G, N, N, C) relayout happens outside the
+kernel as cheap XLA transposes.
 
-Scope: the dc_planar decision path at 8-bit depth (the flagship bench
-config).  The 35-mode search and 10-bit depths stay on the XLA path.
+Numerics: everything is int32 on the VPU.  Transform contractions
+unroll over the static N-length axis; per-pass accumulators are
+bounded by 32*90*8191 < 2^31, so int32 is exact at 8- and 10-bit
+depth.  Both T and T^T are kernel inputs so all four passes read
+plain row/column slices (no in-kernel transposes).  Bit-exactness vs
+the jnp path (and hence the numpy oracle / reference) is asserted in
+tests/test_pallas.py.
+
+Scope: the dc_planar decision path (the flagship bench config).  The
+35-mode search stays on the XLA path.
 """
 
 from __future__ import annotations
@@ -31,137 +40,136 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nanohevc_tpu.tables import transform_matrix
 
-_LANES = 128
+
+def _pass_rows(x: jnp.ndarray, col_ref, n: int) -> jnp.ndarray:
+    """out[i,j,b] = sum_k w_k[i] * x[k,j,b], w_k = col_ref[:, k]."""
+    acc = None
+    for k in range(n):
+        w = col_ref[:, k : k + 1][:, :, None]        # (n, 1, 1)
+        term = x[k : k + 1, :, :] * w
+        acc = term if acc is None else acc + term
+    return acc
 
 
-def _kernel(scal_ref, x_ref, refs_ref, t_ref, recon_ref, levels_ref, n: int):
-    """One grid step: C blocks through the full pipeline.
+def _pass_cols(x: jnp.ndarray, row_ref, n: int) -> jnp.ndarray:
+    """out[i,j,b] = sum_k x[i,k,b] * w_k[j], w_k = row_ref[k, :]."""
+    acc = None
+    for k in range(n):
+        w = row_ref[k : k + 1, :][:, :, None]        # (1, n, 1)
+        term = x[:, k : k + 1, :] * w
+        acc = term if acc is None else acc + term
+    return acc
 
-    scal_ref (SMEM, (6,)): mf, qshift, qoffset, dscale, qp_per, max_pix
-    x_ref:     (C, N, N) int32 source blocks
-    refs_ref:  (C, 4N+2) int32 combined top|left reference vectors
-    t_ref:     (N, N) int32 transform matrix
+
+def _kernel(scal_ref, x_ref, refs_ref, t_ref, tt_ref, recon_ref, levels_ref,
+            n: int):
+    """One grid step: C blocks (lanes) through the full pipeline.
+
+    scal_ref (SMEM, (1, 6)): mf, qshift, qoffset, dscale, qp_per, max_pix
+    x_ref:    (1, N, N, C) int32 source blocks, block axis last
+    refs_ref: (1, 4N+2, C) combined top|left reference vectors
+    t_ref / tt_ref: (N, N) transform matrix and its transpose
     """
-    x = x_ref[:]
-    refs = refs_ref[:]
-    c = x.shape[0]
+    x = x_ref[0]                                     # (n, n, C)
+    refs = refs_ref[0]                               # (4n+2, C)
 
     # --- DC prediction: floor((sum top + sum left + N) / 2N) ------------
-    top = refs[:, 1 : n + 1]                       # (C, N)
-    left = refs[:, 2 * n + 2 : 3 * n + 2]          # (C, N)
-    dc = (top.sum(axis=1) + left.sum(axis=1) + n) // (2 * n)
-    dc_pred = dc[:, None, None]
+    top = refs[1 : n + 1, :]                         # (n, C)
+    left = refs[2 * n + 2 : 3 * n + 2, :]            # (n, C)
+    total = top.sum(axis=0, keepdims=True) + left.sum(axis=0, keepdims=True)
+    dc_pred = ((total + n) // (2 * n))[None, :, :]   # (1, 1, C)
 
     # --- Planar prediction (spec 8.4.4.2.4, parity top_right=top[N]) ----
-    tr = refs[:, n][:, None, None]                 # top[-1] convention
-    bl = refs[:, 3 * n + 1][:, None, None]
-    xs = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 2)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (1, n, n), 1)
-    shift_pl = n.bit_length()
-    h = (n - 1 - xs) * left[:, :, None] + (xs + 1) * tr
-    v = (n - 1 - ys) * top[:, None, :] + (ys + 1) * bl
-    pl_pred = (h + v + n) >> shift_pl
+    tr = refs[n : n + 1, :][None, :, :]              # (1, 1, C)
+    bl = refs[3 * n + 1 : 3 * n + 2, :][None, :, :]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    h = (n - 1 - xs) * left[:, None, :] + (xs + 1) * tr
+    v = (n - 1 - ys) * top[None, :, :] + (ys + 1) * bl
+    pl_pred = (h + v + n) >> n.bit_length()
 
     # --- Energy decision (ties -> DC, reference __main__.py:173) --------
     rd = x - dc_pred
     rp = x - pl_pred
-    e_dc = (rd * rd).sum(axis=(1, 2))
-    e_pl = (rp * rp).sum(axis=(1, 2))
-    use_dc = (e_dc <= e_pl)[:, None, None]
-    pred = jnp.where(use_dc, dc_pred, jnp.zeros_like(x) + pl_pred)
+    e_dc = (rd * rd).sum(axis=0, keepdims=True).sum(axis=1, keepdims=True)
+    e_pl = (rp * rp).sum(axis=0, keepdims=True).sum(axis=1, keepdims=True)
+    use_dc = e_dc <= e_pl                            # (1, 1, C)
+    pred = jnp.where(use_dc, dc_pred + jnp.zeros_like(x), pl_pred)
     res = x - pred
 
-    # --- Forward transform: two MXU passes with floor-rounding ----------
-    t = t_ref[:].astype(jnp.float32)
+    # --- Forward transform: two passes with floor-rounding shifts -------
     tshift = n.bit_length() - 1 + 5
     rnd = 1 << (tshift - 1)
-    scale = jnp.float32(2.0 ** (-tshift))
-
-    def rshift_f(acc):  # exact: integer-valued f32, |acc|+rnd < 2^24
-        return jnp.floor((acc + rnd) * scale).astype(jnp.int32)
-
-    f = res.astype(jnp.float32)
-    # temp[b,i,j] = sum_k T[i,k] X[b,k,j]  -> computed as (C, j, i)
-    tpj = rshift_f(
-        jax.lax.dot_general(f, t, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    )
-    # coeff[b,i,j] = sum_k temp[b,i,k] T[j,k] ; temp[b,i,k] = tpj[b,k,i]
-    coeff = rshift_f(
-        jax.lax.dot_general(tpj.astype(jnp.float32), t,
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    )
+    temp = (_pass_rows(res, t_ref, n) + rnd) >> tshift       # w_k[i]=T[i,k]
+    coeff = (_pass_cols(temp, tt_ref, n) + rnd) >> tshift    # w_k[j]=T[j,k]
 
     # --- Quantize (int32 VPU; exact for |coeff| <= 65000) ---------------
-    mf = scal_ref[0]
-    qshift = scal_ref[1]
-    qoffset = scal_ref[2]
+    mf = scal_ref[0, 0]
+    qshift = scal_ref[0, 1]
+    qoffset = scal_ref[0, 2]
     level = jnp.right_shift(jnp.abs(coeff) * mf + qoffset, qshift)
     level = jnp.sign(coeff) * level
-    levels_ref[:] = level
+    levels_ref[0] = level
 
     # --- Dequantize -----------------------------------------------------
-    dscale = scal_ref[3]
-    qp_per = scal_ref[4]
+    dscale = scal_ref[0, 3]
+    qp_per = scal_ref[0, 4]
     base = level * dscale
     sh = jnp.maximum(4 - qp_per, 1)
     down = jnp.right_shift(base + jnp.left_shift(1, sh - 1), sh)
     up = jnp.left_shift(base, jnp.maximum(qp_per - 4, 0))
     deq = jnp.where(qp_per < 4, down, up)
 
-    # --- Inverse transform: T^T C then (.) T ----------------------------
-    g = deq.astype(jnp.float32)
-    # ti[b,i,j] = sum_k T[k,i] C[b,k,j] -> (C, j, i)
-    ti = rshift_f(
-        jax.lax.dot_general(g, t, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    )
-    # r[b,i,j] = sum_k ti2[b,i,k] T[k,j]; ti2[b,i,k] = ti[b,k,i]
-    rec_res = rshift_f(
-        jax.lax.dot_general(ti.astype(jnp.float32), t,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    )
+    # --- Inverse transform: T^T C, then (.) T ---------------------------
+    ti = (_pass_rows(deq, tt_ref, n) + rnd) >> tshift        # w_k[i]=T[k,i]
+    rec_res = (_pass_cols(ti, t_ref, n) + rnd) >> tshift     # w_k[j]=T[k,j]
 
     # --- Reconstruct + clip ---------------------------------------------
-    recon_ref[:] = jnp.clip(pred + rec_res, 0, scal_ref[5])
+    recon_ref[0] = jnp.clip(pred + rec_res, 0, scal_ref[0, 5])
 
 
 @lru_cache(maxsize=None)
-def _build(n: int, chunk: int, nb_pad: int, interpret: bool):
+def _build(n: int, chunk: int, groups: int, interpret: bool):
     t_host = np.asarray(transform_matrix(n, use_dst=False), dtype=np.int32)
-    grid = nb_pad // chunk
+    r = 4 * n + 2
 
-    kernel = partial(_kernel, n=n)
     call = pl.pallas_call(
-        kernel,
-        grid=(grid,),
+        partial(_kernel, n=n),
+        grid=(groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((chunk, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n, n, chunk), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, 4 * n + 2), lambda i: (i, 0),
+            pl.BlockSpec((1, r, chunk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((chunk, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n, n, chunk), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, n, n), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n, n, chunk), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nb_pad, n, n), jnp.int32),
-            jax.ShapeDtypeStruct((nb_pad, n, n), jnp.int32),
+            jax.ShapeDtypeStruct((groups, n, n, chunk), jnp.int32),
+            jax.ShapeDtypeStruct((groups, n, n, chunk), jnp.int32),
         ),
         interpret=interpret,
     )
 
-    def run(blocks, refs, scalars):
-        return call(scalars, blocks, refs, jnp.asarray(t_host))
+    def run(scalars, x_t, refs_t):
+        return call(
+            scalars, x_t, refs_t,
+            jnp.asarray(t_host), jnp.asarray(np.ascontiguousarray(t_host.T)),
+        )
 
     return run
+
+
+def default_chunk(n: int) -> int:
+    """Lane-dim chunk keeping per-temp VMEM tiles near 0.5 MB."""
+    return max(128, (131072 // (n * n)) // 128 * 128)
 
 
 def fused_encode_blocks(
@@ -170,16 +178,18 @@ def fused_encode_blocks(
     qp: int,
     *,
     bit_depth: int = 8,
-    chunk: int = 256,
+    chunk: int | None = None,
     interpret: bool = False,
 ):
     """(nb, N, N) blocks + (nb, 4N+2) refs -> (recon, levels), fused.
 
-    qp must be a static Python int (the kernel takes the derived
-    constants through SMEM; recompilation per QP is avoided by passing
-    them as data — one compiled kernel serves all QPs).
+    qp must be a static Python int; the derived constants travel
+    through SMEM as data.  Blocks are relaid out to (G, N, N, C) with
+    the block axis on lanes (see module docstring), processed by the
+    kernel, and relaid back — both relayouts are single XLA transposes.
     """
     nb, n, _ = blocks.shape
+    r = 4 * n + 2
     qp_c = max(0, min(51, int(qp)))
     from nanohevc_tpu.tables import DEQUANT_SCALE, QUANT_SCALE
 
@@ -195,9 +205,11 @@ def fused_encode_blocks(
             (1 << bit_depth) - 1,
         ],
         dtype=jnp.int32,
-    )
+    ).reshape(1, 6)
 
-    chunk = min(chunk, max(8, nb))
+    if chunk is None:
+        chunk = default_chunk(n)
+    chunk = max(128, min(chunk, 1 << 16) // 128 * 128)
     nb_pad = ((nb + chunk - 1) // chunk) * chunk
     if nb_pad != nb:
         pad = nb_pad - nb
@@ -205,8 +217,16 @@ def fused_encode_blocks(
             [blocks, jnp.zeros((pad, n, n), blocks.dtype)], axis=0
         )
         refs = jnp.concatenate(
-            [refs, jnp.full((pad, 4 * n + 2), 128, refs.dtype)], axis=0
+            [refs, jnp.full((pad, r), 128, refs.dtype)], axis=0
         )
-    run = _build(n, chunk, nb_pad, interpret)
-    recon, levels = run(blocks.astype(jnp.int32), refs.astype(jnp.int32), scalars)
-    return recon[:nb], levels[:nb]
+    groups = nb_pad // chunk
+
+    x_t = blocks.astype(jnp.int32).reshape(groups, chunk, n, n).transpose(0, 2, 3, 1)
+    refs_t = refs.astype(jnp.int32).reshape(groups, chunk, r).transpose(0, 2, 1)
+
+    run = _build(n, chunk, groups, interpret)
+    recon_t, levels_t = run(scalars, x_t, refs_t)
+
+    recon = recon_t.transpose(0, 3, 1, 2).reshape(nb_pad, n, n)[:nb]
+    levels = levels_t.transpose(0, 3, 1, 2).reshape(nb_pad, n, n)[:nb]
+    return recon, levels

@@ -1,0 +1,226 @@
+"""Multi-frame sequence encoder with checkpoint/resume.
+
+BASELINE config 5's shape: a YUV420p sequence is encoded in device
+batches (vmapped/sharded over frames), levels stream to the host
+entropy stage, and the bitstream grows one access unit per frame:
+
+  [VPS][SPS][PPS]  then per frame:  [AUD(frame_idx)][slice Y][U][V]
+
+Checkpoint/resume (SURVEY §5): frames are embarrassingly restartable,
+so resume state is just (frames_done, bytes_written) in a JSON sidecar
+next to the bitstream; restart truncates any partial tail and
+continues from the next frame.  The reference has no persistence
+beyond raw YUV I/O (frame.py:88-115).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from nanohevc_tpu.config import EncoderConfig
+from nanohevc_tpu.utils.tracing import Stopwatch, throughput_stats
+
+NAL_AUD = 35
+
+
+def _read_frames(path: str, width: int, height: int, start: int, count: int
+                 ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (Y, U, V) uint8 planes for frames [start, start+count)."""
+    fs = width * height * 3 // 2
+    ys = width * height
+    us = (width // 2) * (height // 2)
+    with open(path, "rb") as f:
+        f.seek(start * fs)
+        for _ in range(count):
+            buf = f.read(fs)
+            if len(buf) < fs:
+                return
+            y = np.frombuffer(buf, np.uint8, ys).reshape(height, width)
+            u = np.frombuffer(buf, np.uint8, us, ys).reshape(height // 2, width // 2)
+            v = np.frombuffer(buf, np.uint8, us, ys + us).reshape(height // 2, width // 2)
+            yield y, u, v
+
+
+def _load_progress(progress_path: str, bitstream_path: str) -> tuple[int, int]:
+    """(frames_done, valid_bytes) from the sidecar; (0, 0) if invalid."""
+    try:
+        with open(progress_path) as f:
+            p = json.load(f)
+        size = os.path.getsize(bitstream_path)
+        if p["bytes_written"] <= size:
+            return int(p["frames_done"]), int(p["bytes_written"])
+    except (OSError, KeyError, ValueError):
+        pass
+    return 0, 0
+
+
+@dataclass
+class SequenceResult:
+    frames: int
+    resumed_from: int
+    bytes_written: int
+    mean_psnr_y: float
+    stats: dict
+
+
+def encode_sequence(
+    input_path: str,
+    width: int,
+    height: int,
+    num_frames: int,
+    config: EncoderConfig,
+    bitstream_path: str,
+    *,
+    batch: int = 8,
+    resume: bool = True,
+    mesh=None,
+    report_every: int = 0,
+) -> SequenceResult:
+    """Encode `num_frames` frames of a YUV420p file to a bitstream."""
+    import jax
+    import jax.numpy as jnp
+
+    from nanohevc_tpu.parallel.sharding import make_batch_encoder
+    from nanohevc_tpu.runtime import entropy
+    from nanohevc_tpu.runtime.bitstream import assemble_bitstream
+
+    progress_path = bitstream_path + ".progress"
+    start, valid_bytes = (0, 0)
+    if resume:
+        start, valid_bytes = _load_progress(progress_path, bitstream_path)
+    start = min(start, num_frames)
+
+    luma_fn = make_batch_encoder(config, mesh, is_luma=True)
+    chroma_fn = make_batch_encoder(config, mesh, is_luma=False)
+    qp = jnp.int32(config.qp)
+
+    sw = Stopwatch()
+    psnrs: List[float] = []
+    mode_flags = "r+b" if (start > 0 and os.path.exists(bitstream_path)) else "wb"
+    t_run = time.perf_counter()
+    with open(bitstream_path, mode_flags) as out:
+        if start > 0:
+            out.truncate(valid_bytes)
+            out.seek(valid_bytes)
+        else:
+            header = (
+                entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, config.block_size, config.qp, 0))
+                + entropy.wrap_nal(entropy.NAL_SPS, entropy.write_params(width, height, config.block_size, config.qp, 1))
+                + entropy.wrap_nal(entropy.NAL_PPS, entropy.write_params(width, height, config.block_size, config.qp, 2))
+            )
+            out.write(header)
+
+        done = start
+        while done < num_frames:
+            take = min(batch, num_frames - done)
+            with sw.time("load"):
+                planes = list(_read_frames(input_path, width, height, done, take))
+            if not planes:
+                break
+            take = len(planes)
+            # pad ragged tail batches to the full batch size so every
+            # device call shares one compiled program
+            padded = planes + [planes[-1]] * (batch - take)
+            ys = np.stack([p[0] for p in padded]).astype(np.int32)
+            uvs = np.stack(
+                [p[1] for p in padded] + [p[2] for p in padded]
+            ).astype(np.int32)
+
+            with sw.time("device"):
+                y_out = luma_fn(jnp.asarray(ys), qp)
+                c_out = chroma_fn(jnp.asarray(uvs), qp)
+                y_levels = np.asarray(y_out["levels"])[:take]
+                y_modes = np.asarray(y_out["modes"])[:take]
+                c_levels = np.asarray(c_out["levels"])
+                c_modes = np.asarray(c_out["modes"])
+                psnrs.extend(float(v) for v in np.asarray(y_out["psnr"])[:take])
+
+            with sw.time("entropy"):
+                cb = config.chroma_block_size()
+                for i in range(take):
+                    aud = entropy.wrap_nal(NAL_AUD, struct.pack("<I", done + i))
+                    frame_bs = assemble_bitstream(
+                        width,
+                        height,
+                        config.qp,
+                        {
+                            "Y": (y_levels[i], config.block_size),
+                            "U": (c_levels[i], cb),
+                            "V": (c_levels[batch + i], cb),
+                        },
+                        {
+                            "Y": y_modes[i],
+                            "U": c_modes[i],
+                            "V": c_modes[batch + i],
+                        },
+                    )
+                    # assemble_bitstream repeats parameter sets per call;
+                    # strip them here (sequence carries one global set)
+                    frame_bs = _strip_param_sets(frame_bs)
+                    out.write(aud + frame_bs)
+
+            done += take
+            out.flush()
+            with open(progress_path, "w") as pf:
+                json.dump({"frames_done": done, "bytes_written": out.tell()}, pf)
+            if report_every and (done - start) % report_every == 0:
+                print(f"  frame {done}/{num_frames}", flush=True)
+
+        bytes_written = out.tell()
+
+    wall = time.perf_counter() - t_run
+    stats = sw.report()
+    stats["throughput"] = throughput_stats(
+        (done - start) * width * height * 3 // 2, wall
+    )
+    return SequenceResult(
+        frames=done,
+        resumed_from=start,
+        bytes_written=bytes_written,
+        mean_psnr_y=float(np.mean(psnrs)) if psnrs else float("nan"),
+        stats=stats,
+    )
+
+
+def _strip_param_sets(frame_bs: bytes) -> bytes:
+    """Drop VPS/SPS/PPS NALs from a single-frame bitstream blob."""
+    from nanohevc_tpu.runtime.bitstream import _split_nals
+    from nanohevc_tpu.runtime import entropy
+
+    out = []
+    # re-wrap surviving NALs (payloads round-trip through unescape/escape)
+    for nal_type, payload in _split_nals(frame_bs):
+        if nal_type in (32, 33, 34):
+            continue
+        out.append(entropy.wrap_nal(nal_type, payload))
+    return b"".join(out)
+
+
+def decode_sequence_levels(bitstream_path: str) -> List[Dict[str, dict]]:
+    """Parse a sequence bitstream back to per-frame plane level dicts."""
+    from nanohevc_tpu.runtime.bitstream import _split_nals, parse_bitstream
+    from nanohevc_tpu.runtime import entropy as E
+
+    with open(bitstream_path, "rb") as f:
+        data = f.read()
+
+    # split into access units on AUD NALs
+    frames: List[Dict[str, dict]] = []
+    current: List[bytes] = []
+    for nal_type, payload in _split_nals(data):
+        if nal_type == NAL_AUD:
+            if current:
+                frames.append(parse_bitstream(b"".join(current)))
+            current = []
+        elif nal_type == E.NAL_SLICE:
+            current.append(E.wrap_nal(nal_type, payload))
+    if current:
+        frames.append(parse_bitstream(b"".join(current)))
+    return frames

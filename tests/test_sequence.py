@@ -1,0 +1,89 @@
+"""Sequence encoder tests: multi-frame encode, resume, parse-back."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nanohevc_tpu.config import EncoderConfig
+from nanohevc_tpu.models.sequence import (
+    SequenceResult,
+    decode_sequence_levels,
+    encode_sequence,
+)
+
+
+def write_sequence(path, width, height, frames, seed=0):
+    rng = np.random.default_rng(seed)
+    fs = width * height * 3 // 2
+    data = rng.integers(0, 256, frames * fs, dtype=np.uint8).astype(np.uint8)
+    # give frames smooth structure so levels are sparse
+    path.write_bytes((data // 4 + 96).tobytes())
+
+
+class TestSequenceEncode:
+    def test_basic_run(self, tmp_path):
+        src = tmp_path / "seq.yuv"
+        write_sequence(src, 64, 32, 6)
+        bs = tmp_path / "seq.bin"
+        cfg = EncoderConfig(block_size=8, qp=22)
+        res = encode_sequence(str(src), 64, 32, 6, cfg, str(bs), batch=4)
+        assert res.frames == 6 and res.resumed_from == 0
+        assert bs.stat().st_size == res.bytes_written > 0
+        assert np.isfinite(res.mean_psnr_y)
+        assert res.stats["throughput"]["mpix_per_s"] > 0
+
+        frames = decode_sequence_levels(str(bs))
+        assert len(frames) == 6
+        for f in frames:
+            assert set(f) == {"Y", "U", "V"}
+            assert f["Y"]["levels"].shape == (32, 64)   # 8x4 blocks of 8x8
+            assert f["U"]["levels"].shape == (32, 16)   # 8x4 blocks of 4x4
+            assert f["Y"]["modes"] is not None
+
+    def test_resume_after_interrupt(self, tmp_path):
+        src = tmp_path / "seq.yuv"
+        write_sequence(src, 32, 32, 8)
+        bs = tmp_path / "seq.bin"
+        cfg = EncoderConfig(block_size=8, qp=30)
+
+        res1 = encode_sequence(str(src), 32, 32, 4, cfg, str(bs), batch=2)
+        assert res1.frames == 4
+
+        # resume to 8 frames; first 4 must not be re-encoded
+        res2 = encode_sequence(str(src), 32, 32, 8, cfg, str(bs), batch=2)
+        assert res2.resumed_from == 4
+        assert res2.frames == 8
+        frames = decode_sequence_levels(str(bs))
+        assert len(frames) == 8
+
+        # full restart from scratch produces identical frame payloads
+        bs2 = tmp_path / "seq2.bin"
+        res3 = encode_sequence(str(src), 32, 32, 8, cfg, str(bs2), batch=8)
+        frames2 = decode_sequence_levels(str(bs2))
+        for a, b in zip(frames, frames2):
+            for plane in ("Y", "U", "V"):
+                assert np.array_equal(a[plane]["levels"], b[plane]["levels"])
+                assert np.array_equal(a[plane]["modes"], b[plane]["modes"])
+
+    def test_corrupt_progress_restarts(self, tmp_path):
+        src = tmp_path / "seq.yuv"
+        write_sequence(src, 32, 32, 3)
+        bs = tmp_path / "seq.bin"
+        cfg = EncoderConfig(block_size=8, qp=22)
+        encode_sequence(str(src), 32, 32, 3, cfg, str(bs), batch=2)
+        (tmp_path / "seq.bin.progress").write_text("{broken json")
+        res = encode_sequence(str(src), 32, 32, 3, cfg, str(bs), batch=2)
+        assert res.resumed_from == 0
+        assert len(decode_sequence_levels(str(bs))) == 3
+
+    def test_short_input_stops_cleanly(self, tmp_path):
+        src = tmp_path / "seq.yuv"
+        write_sequence(src, 32, 32, 2)
+        bs = tmp_path / "seq.bin"
+        res = encode_sequence(
+            str(src), 32, 32, 10, EncoderConfig(block_size=8, qp=22), str(bs)
+        )
+        assert res.frames == 2
+        assert len(decode_sequence_levels(str(bs))) == 2
