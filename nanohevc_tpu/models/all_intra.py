@@ -247,10 +247,12 @@ def encode_frame_full(frame: Frame, config: EncoderConfig) -> Tuple[Frame, dict]
         }
         info["blocks"] += int(out["modes"].shape[0])
     from nanohevc_tpu.ref.metrics import psnr as psnr_host
+    from nanohevc_tpu.ref.metrics import ssim as ssim_host
 
-    info["psnr_y"] = psnr_host(
-        frame.y.data.astype(np.uint8), recon.y.data.astype(np.uint8)
-    )
+    orig_y = frame.y.data.astype(np.uint8)
+    rec_y = recon.y.data.astype(np.uint8)
+    info["psnr_y"] = psnr_host(orig_y, rec_y)
+    info["ssim_y"] = ssim_host(orig_y, rec_y)
     return recon, info
 
 

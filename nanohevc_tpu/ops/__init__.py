@@ -25,9 +25,12 @@ from nanohevc_tpu.ops.quant import quantize, dequantize
 from nanohevc_tpu.ops.metrics import (
     mse,
     psnr,
+    ssim,
     sad_blocks,
     satd_blocks,
     residual_energy_blocks,
+    estimate_bits_blocks,
+    count_nonzero_blocks,
 )
 from nanohevc_tpu.ops.scan import scan_pack, scan_unpack
 
@@ -47,9 +50,12 @@ __all__ = [
     "dequantize",
     "mse",
     "psnr",
+    "ssim",
     "sad_blocks",
     "satd_blocks",
     "residual_energy_blocks",
+    "estimate_bits_blocks",
+    "count_nonzero_blocks",
     "scan_pack",
     "scan_unpack",
 ]

@@ -49,6 +49,49 @@ def satd_blocks(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(t).sum(axis=(-2, -1))
 
 
+def ssim(original: jnp.ndarray, reconstructed: jnp.ndarray, peak: int = 255,
+         window: int = 8) -> jnp.ndarray:
+    """Uniform-window SSIM, jittable (float32; matches the oracle to
+    ~1e-3, adequate for a perceptual metric)."""
+    import jax
+
+    x = original.astype(jnp.float32)
+    y = reconstructed.astype(jnp.float32)
+
+    def box(a):
+        s = jax.lax.reduce_window(
+            a, 0.0, jax.lax.add, (window, window), (1, 1), "VALID"
+        )
+        return s / (window * window)
+
+    mx, my = box(x), box(y)
+    mxx, myy, mxy = box(x * x), box(y * y), box(x * y)
+    vx = mxx - mx * mx
+    vy = myy - my * my
+    cxy = mxy - mx * my
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+    s = ((2 * mx * my + c1) * (2 * cxy + c2)) / (
+        (mx * mx + my * my + c1) * (vx + vy + c2)
+    )
+    return jnp.mean(s)
+
+
+def estimate_bits_blocks(levels: jnp.ndarray) -> jnp.ndarray:
+    """Per-block rate estimate: sum(log2(|l|+1)) + 2 per nonzero.
+
+    Batched analog of the oracle's estimate_bits (quant.py:153-168).
+    """
+    a = jnp.abs(levels.astype(jnp.float32))
+    bits = jnp.log2(a + 1.0) + jnp.where(a > 0, 2.0, 0.0)
+    return bits.sum(axis=tuple(range(1, levels.ndim)))
+
+
+def count_nonzero_blocks(levels: jnp.ndarray) -> jnp.ndarray:
+    """Per-block non-zero level count."""
+    return (levels != 0).sum(axis=tuple(range(1, levels.ndim)))
+
+
 def residual_energy_blocks(residual: jnp.ndarray) -> jnp.ndarray:
     """Sum of squared residuals per block: (nb, N, N) -> (nb,) int32.
 

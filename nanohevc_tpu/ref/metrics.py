@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["mse", "psnr", "sad", "satd_4x4", "hadamard_matrix", "residual_energy"]
+__all__ = ["mse", "psnr", "ssim", "sad", "satd_4x4", "hadamard_matrix", "residual_energy"]
 
 
 def mse(original: np.ndarray, reconstructed: np.ndarray) -> float:
@@ -55,3 +55,34 @@ def residual_energy(residual: np.ndarray) -> int:
     """Sum of squared residuals (int64 accumulation)."""
     r = residual.astype(np.int64)
     return int((r * r).sum())
+
+
+def ssim(original: np.ndarray, reconstructed: np.ndarray, peak: int = 255,
+         window: int = 8) -> float:
+    """Structural similarity with a uniform window (codec-style SSIM).
+
+    Mean SSIM over all full window positions (stride 1), constants
+    C1=(0.01 L)^2, C2=(0.03 L)^2.  The reference has no SSIM at all;
+    this is a capability extension (BASELINE config 4).
+    """
+    x = original.astype(np.float64)
+    y = reconstructed.astype(np.float64)
+
+    def box(a):  # mean filter over window x window, valid positions
+        c = np.cumsum(np.cumsum(a, axis=0), axis=1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        w = window
+        s = c[w:, w:] - c[:-w, w:] - c[w:, :-w] + c[:-w, :-w]
+        return s / (w * w)
+
+    mx, my = box(x), box(y)
+    mxx, myy, mxy = box(x * x), box(y * y), box(x * y)
+    vx = mxx - mx * mx
+    vy = myy - my * my
+    cxy = mxy - mx * my
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+    s = ((2 * mx * my + c1) * (2 * cxy + c2)) / (
+        (mx * mx + my * my + c1) * (vx + vy + c2)
+    )
+    return float(s.mean())

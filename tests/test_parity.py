@@ -206,3 +206,34 @@ class TestScan:
         packed = np.asarray(ops.scan_pack(x, "diag"))[0]
         assert packed[0] == 0                       # DC first
         assert list(packed[:6]) == [0, 4, 1, 8, 5, 2]  # up-right diagonals
+
+
+class TestSSIM:
+    def test_identical_is_one(self):
+        rng = np.random.default_rng(12)
+        x = rng.integers(0, 256, (64, 64)).astype(np.int32)
+        from nanohevc_tpu.ref.metrics import ssim as ssim_ref
+
+        assert abs(ssim_ref(x, x) - 1.0) < 1e-9
+        assert abs(float(ops.ssim(jnp.asarray(x), jnp.asarray(x))) - 1.0) < 1e-5
+
+    def test_noise_lowers_ssim_and_matches_oracle(self):
+        rng = np.random.default_rng(13)
+        x = rng.integers(0, 200, (64, 64)).astype(np.int32)
+        y = np.clip(x + rng.integers(-20, 21, x.shape), 0, 255).astype(np.int32)
+        from nanohevc_tpu.ref.metrics import ssim as ssim_ref
+
+        want = ssim_ref(x, y)
+        got = float(ops.ssim(jnp.asarray(x), jnp.asarray(y)))
+        assert want < 0.99
+        assert abs(got - want) < 2e-3
+
+    def test_estimate_bits_blocks(self):
+        rng = np.random.default_rng(14)
+        lv = rng.integers(-10, 11, (4, 8, 8)).astype(np.int32)
+        got = np.asarray(ops.estimate_bits_blocks(jnp.asarray(lv)))
+        for i in range(4):
+            assert abs(got[i] - oracle.estimate_bits(lv[i])) <= 1.0
+        nz = np.asarray(ops.count_nonzero_blocks(jnp.asarray(lv)))
+        for i in range(4):
+            assert nz[i] == oracle.count_nonzero(lv[i])
