@@ -1,10 +1,10 @@
 """Benchmark: 1080p all-intra luma full-pipeline throughput on one chip.
 
-Measures the flagship path (BASELINE.json north star): tile ->
-neighbor refs -> DC/planar mode decision -> predict -> residual ->
-8x8 DCT -> quantize(QP22) -> scan-pack -> dequantize -> inverse ->
-reconstruct -> clip, on the ambient backend (the real TPU chip under
-the driver).
+Measures the flagship path (BASELINE.json north star): the fused
+slab Pallas kernel — neighbor refs -> DC/planar mode decision ->
+predict -> residual -> 8x8 DCT -> quantize(QP22) -> dequantize ->
+inverse -> reconstruct -> clip, whole plane per launch — on the
+ambient backend (the real TPU chip under the driver).
 
 Prints ONE JSON line:
   {"metric": ..., "value": Mpix/s, "unit": "Mpix/s", "vs_baseline": x}
@@ -47,7 +47,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def check_bit_exact(fn, plane, qp, host_plane) -> float:
+def check_bit_exact(plane, host_plane) -> float:
     """% of 256 sampled blocks matching the numpy oracle bit-for-bit.
 
     Only the sampled blocks are fetched (device-side gather, ~130 KB).
@@ -58,6 +58,8 @@ def check_bit_exact(fn, plane, qp, host_plane) -> float:
     from nanohevc_tpu import ref as oracle
     from nanohevc_tpu.ops import scan_unpack, tile_plane
 
+    from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
+
     rng = np.random.default_rng(0)
     nb = (H // N) * (W // N)
     nbx = W // N
@@ -65,11 +67,14 @@ def check_bit_exact(fn, plane, qp, host_plane) -> float:
     idx = jnp.asarray(sample)
 
     @jax.jit
-    def run_and_gather(p, q):
-        out = fn(p, q)
-        return scan_unpack(out["levels"])[idx], tile_plane(out["recon"], N)[idx]
+    def run_and_gather(p):
+        out = slab_encode_plane(p, QP, N)
+        return (
+            tile_plane(out["levels_slab"], N)[idx],
+            tile_plane(out["recon"], N)[idx],
+        )
 
-    levels_s, recon_s = run_and_gather(plane, qp)
+    levels_s, recon_s = run_and_gather(plane)
     levels_s = np.asarray(levels_s)
     recon_s = np.asarray(recon_s)
 
@@ -102,19 +107,21 @@ def run_bench() -> None:
     from __graft_entry__ import entry
 
     log(f"backend: {jax.devices()}")
-    fn_raw, (plane, qp) = entry()
+    _, (plane, qp) = entry()
     host_plane = np.random.default_rng(0).integers(0, 256, (H, W)).astype(np.int32)
 
     # Per-dispatch tunnel overhead is ~10 ms, far above the device time
     # for one 1080p frame, so the production-shaped measurement batches
     # FRAMES frames per dispatch (vmapped encode = BASELINE config 5's
     # multi-frame throughput shape) and times ITERS dispatches.
+    from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
+
     frames = jnp.stack([plane] * FRAMES)
-    batch_fn = jax.jit(jax.vmap(fn_raw, in_axes=(0, None)))
+    batch_fn = jax.jit(jax.vmap(lambda p: slab_encode_plane(p, QP, N)))
 
     t0 = time.time()
-    out = batch_fn(frames, qp)
-    _ = int(out["nnz"][0, 0])  # real fetch: block_until_ready lies here
+    out = batch_fn(frames)
+    _ = int(out["recon"][0, 0, 0])  # real fetch: block_until_ready lies
     log(f"compile+first batch({FRAMES} frames): {time.time() - t0:.1f}s")
 
     # Enqueue K batches, then one 4-byte fetch of the LAST result -
@@ -126,8 +133,8 @@ def run_bench() -> None:
         t0 = time.time()
         out = None
         for _ in range(iters):
-            out = batch_fn(frames, qp)
-        _ = int(out["nnz"][0, 0])
+            out = batch_fn(frames)
+        _ = int(out["recon"][0, 0, 0])
         dt = time.time() - t0
         log(f"{iters} x {FRAMES}-frame batches: {dt:.2f}s wall")
         if dt > 20.0 or iters >= 4096:
@@ -138,7 +145,7 @@ def run_bench() -> None:
     log(f"-> {mpix_s:.1f} Mpix/s ({dt/(iters*FRAMES)*1e3:.3f} ms/frame incl "
         "tunnel sync overhead)")
 
-    pct = check_bit_exact(fn_raw, plane, qp, host_plane)
+    pct = check_bit_exact(plane, host_plane)
     log(f"bit-exact blocks vs numpy oracle: {pct:.1f}% (256 sampled)")
     if pct < 100.0:
         print(json.dumps({"metric": "BIT-EXACTNESS FAILURE", "value": pct,

@@ -172,6 +172,36 @@ def default_chunk(n: int) -> int:
     return max(128, (131072 // (n * n)) // 128 * 128)
 
 
+def fused_encode_planes(planes: jnp.ndarray, qp: int, n: int,
+                        *, bit_depth: int = 8, chunk: int | None = None,
+                        interpret: bool = False):
+    """(F, H, W) planes -> dict(recon (F,H,W), levels (F, nb, N*N) raster).
+
+    Frames fold into the kernel's block axis (one pallas_call for the
+    whole batch) instead of vmapping the kernel — simpler lowering and
+    a bigger, better-utilized grid.
+    """
+    from nanohevc_tpu.ops import extract_refs, tile_plane, untile_plane
+
+    f, h, w = planes.shape
+    src = planes.astype(jnp.int32)
+    blocks = jax.vmap(lambda p: tile_plane(p, n))(src)
+    refs = jax.vmap(lambda p: extract_refs(p, n))(src)
+    nb = blocks.shape[1]
+    recon_b, levels = fused_encode_blocks(
+        blocks.reshape(f * nb, n, n),
+        refs.reshape(f * nb, 4 * n + 2),
+        qp,
+        bit_depth=bit_depth,
+        chunk=chunk,
+        interpret=interpret,
+    )
+    recon = jax.vmap(lambda b: untile_plane(b, h, w))(
+        recon_b.reshape(f, nb, n, n)
+    )
+    return {"recon": recon, "levels": levels.reshape(f, nb, n * n)}
+
+
 def fused_encode_blocks(
     blocks: jnp.ndarray,
     refs: jnp.ndarray,

@@ -1,0 +1,290 @@
+"""Slab-layout fused pipeline: whole plane in, whole plane out.
+
+The blocks-API kernel (fused_pipeline.py) is fast, but profiling on
+the chip showed the XLA glue around it dominating: tile_plane ~1.0 ms,
+extract_refs (a gather) ~1.7 ms, untile ~0.4 ms per 1080p frame vs
+0.47 ms for the kernel itself.  This kernel eliminates all of it: the
+grid runs over block-rows, each step reads a dense (N, W) row slab of
+the raw plane (plus the previous slab for the top reference) straight
+from HBM via BlockSpec, and writes reconstruction and levels back as
+dense (N, W) slabs.  No gather, no tiling transposes, anywhere.
+
+The data NEVER leaves slab layout.  Block-local operations become
+lane-algebra over the W axis (lane c belongs to block c//N with phase
+c%N):
+
+- transform ROW passes are outer-product FMAs T @ slab (contraction
+  over sublanes);
+- transform COLUMN passes mix lanes only within a block: expressed as
+  sum_d roll(X, d) * W_d, where W_d[c] = T[c%N, c%N-d] is a
+  precomputed per-lane weight row (2N-1 static rolls per pass; roll
+  wrap-around lanes always carry zero weight);
+- per-block sums (DC, decision energies) and neighbor spreads (left
+  column, top-right) are the same roll pattern with 0/1 phase masks
+  built in-kernel from a lane iota.
+
+The left reference of block bx is the last column of block bx-1 in
+the same source slab (one masked roll), the top reference is the last
+row of the previous slab — exactly the reference encoder's source-fed
+neighbor semantics (reference __main__.py:162-168) with 128 boundary
+fill.  Levels come out in slab layout (levels[y, x] = coefficient
+(y%N, x%N) of the block containing (y, x)); `levels_plane_to_blocks`
+converts for the entropy stage.  Bit-exact vs the jnp ops path (and
+hence the numpy oracle / reference): tests/test_pallas.py.
+
+Constraints: W % N == 0 and N in {8, 16, 32} (Mosaic sublane rules);
+4x4 uses fused_encode_blocks instead.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nanohevc_tpu.tables import transform_matrix
+
+BOUNDARY = 128
+
+
+def _roll(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Static circular lane shift: result[.., c] = x[.., c - d].
+
+    pltpu.roll requires a non-negative shift; negative d wraps mod W
+    (the wrapped lanes always carry zero weight in every caller).
+    """
+    size = x.shape[-1]
+    d = d % size
+    if d == 0:
+        return x
+    return pltpu.roll(x, shift=d, axis=x.ndim - 1)
+
+
+def _row_pass(x: jnp.ndarray, m_ref, n: int) -> jnp.ndarray:
+    """out[i, c] = sum_k m[i, k] * x[k, c] (outer-product FMAs)."""
+    acc = None
+    for k in range(n):
+        term = m_ref[:, k : k + 1] * x[k : k + 1, :]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _col_pass(x: jnp.ndarray, w_ref, n: int) -> jnp.ndarray:
+    """out[i, c] = sum_k x[i, blk(c)*N + k] * T[c%N, k].
+
+    w_ref is the (2N-1, W) weight-row stack: row d+N-1 holds
+    T[c%N, c%N-d] (zero where c%N-d is out of range), so each term is
+    one static lane-roll times one weight row.
+    """
+    acc = None
+    for d in range(-(n - 1), n):
+        term = _roll(x, d) * w_ref[d + n - 1 : d + n, :]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _block_sum(v: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(1, W) -> (1, W): every lane gets its block's lane-sum."""
+    acc = None
+    for d in range(-(n - 1), n):
+        ok = jnp.logical_and(phase - d >= 0, phase - d < n).astype(jnp.int32)
+        term = _roll(v, d) * ok
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _spread_phase(v: jnp.ndarray, src_phase: int, phase: jnp.ndarray,
+                  n: int) -> jnp.ndarray:
+    """Every lane gets its block's lane at phase src_phase."""
+    acc = None
+    for d in range(-(n - 1), n):
+        ok = (phase - d == src_phase).astype(jnp.int32)
+        term = _roll(v, d) * ok
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _kernel(scal_ref, slab_ref, above_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
+            recon_ref, levels_ref, n: int):
+    """One grid step: the block-row's N x W slab, entirely in lanes.
+
+    scal_ref (SMEM, (1, 6)): mf, qshift, qoffset, dscale, qp_per, max_pix
+    slab_ref / above_ref: (N, W) source slabs (above = previous row's)
+    t_ref / tt_ref: (N, N) transform matrix and transpose
+    wfwd_ref / winv_ref: (2N-1, W) column-pass weight rows for T / T^T
+    """
+    by = pl.program_id(0)
+    w = slab_ref.shape[1]
+
+    x = slab_ref[:, :]                                           # (n, W)
+    above = jnp.where(by == 0, BOUNDARY, above_ref[n - 1 : n, :])  # (1, W)
+
+    phase = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) % n
+
+    # Left reference column LC[i, c] = x[i, blk(c)*N - 1]; 128 for blk 0.
+    lc = None
+    for dph in range(n):  # source phase n-1 at offset d = phase + 1
+        ok = (phase == dph).astype(jnp.int32)
+        term = _roll(x, dph + 1) * ok
+        lc = term if lc is None else lc + term
+    first_block = (jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) < n)
+    lc = jnp.where(first_block, BOUNDARY, lc)                    # (n, W)
+
+    # --- DC: floor((sum top + sum left + N) / 2N), per lane -------------
+    top_sum = _block_sum(above, phase, n)                        # (1, W)
+    # every lane of lc already holds its block's left-column value, so
+    # the row-sum IS the block's left sum (no lane reduction needed)
+    left_sum = lc.sum(axis=0, keepdims=True)                     # (1, W)
+    dc_pred = (top_sum + left_sum + n) // (2 * n)                # (1, W)
+
+    # --- Planar (parity: top_right = top[N-1], bottom_left = left[N-1]) -
+    tr = _spread_phase(above, n - 1, phase, n)                   # (1, W)
+    bl = _spread_phase(lc[n - 1 : n, :], n - 1, phase, n)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    h = (n - 1 - phase) * lc + (phase + 1) * tr
+    v = (n - 1 - rows) * above + (rows + 1) * bl
+    pl_pred = (h + v + n) >> n.bit_length()
+
+    # --- Energy decision (ties -> DC) ------------------------------------
+    rd = x - dc_pred
+    rp = x - pl_pred
+    e_dc = _block_sum((rd * rd).sum(axis=0, keepdims=True), phase, n)
+    e_pl = _block_sum((rp * rp).sum(axis=0, keepdims=True), phase, n)
+    use_dc = e_dc <= e_pl                                        # (1, W)
+    pred = jnp.where(use_dc, dc_pred + jnp.zeros_like(x), pl_pred)
+    res = x - pred
+
+    # --- Transform -> quant -> dequant -> inverse ------------------------
+    tshift = n.bit_length() - 1 + 5
+    rnd = 1 << (tshift - 1)
+    temp = (_row_pass(res, t_ref, n) + rnd) >> tshift
+    coeff = (_col_pass(temp, wfwd_ref, n) + rnd) >> tshift
+
+    mf = scal_ref[0, 0]
+    qshift = scal_ref[0, 1]
+    qoffset = scal_ref[0, 2]
+    level = jnp.sign(coeff) * jnp.right_shift(
+        jnp.abs(coeff) * mf + qoffset, qshift
+    )
+    levels_ref[:, :] = level
+
+    dscale = scal_ref[0, 3]
+    qp_per = scal_ref[0, 4]
+    base = level * dscale
+    sh = jnp.maximum(4 - qp_per, 1)
+    down = jnp.right_shift(base + jnp.left_shift(1, sh - 1), sh)
+    up = jnp.left_shift(base, jnp.maximum(qp_per - 4, 0))
+    deq = jnp.where(qp_per < 4, down, up)
+
+    ti = (_row_pass(deq, tt_ref, n) + rnd) >> tshift
+    rec_res = (_col_pass(ti, winv_ref, n) + rnd) >> tshift
+
+    recon_ref[:, :] = jnp.clip(pred + rec_res, 0, scal_ref[0, 5])
+
+
+def _col_weights(t: np.ndarray, width: int, n: int) -> np.ndarray:
+    """(2N-1, W) weight rows: row d+N-1, lane c -> t[c%N, c%N-d]."""
+    out = np.zeros((2 * n - 1, width), np.int32)
+    ph = np.arange(width) % n
+    for d in range(-(n - 1), n):
+        k = ph - d
+        ok = (k >= 0) & (k < n)
+        out[d + n - 1, ok] = t[ph[ok], k[ok]]
+    return out
+
+
+@lru_cache(maxsize=None)
+def _build(n: int, height: int, width: int, interpret: bool):
+    t_host = np.asarray(transform_matrix(n, use_dst=False), dtype=np.int32)
+    nby = height // n
+    wfwd = _col_weights(t_host, width, n)          # pass 2 of forward: T
+    winv = _col_weights(t_host.T, width, n)        # pass 2 of inverse: T^T
+
+    call = pl.pallas_call(
+        partial(_kernel, n=n),
+        grid=(nby,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # previous block-row's slab (its last row is the top
+            # reference); clamped at 0 and masked in-kernel for by == 0
+            pl.BlockSpec((n, width), lambda i: (jnp.maximum(i - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n - 1, width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n - 1, width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nby * n, width), jnp.int32),
+            jax.ShapeDtypeStruct((nby * n, width), jnp.int32),
+        ),
+        interpret=interpret,
+    )
+
+    def run(scalars, plane):
+        return call(
+            scalars, plane, plane,
+            jnp.asarray(t_host),
+            jnp.asarray(np.ascontiguousarray(t_host.T)),
+            jnp.asarray(wfwd), jnp.asarray(winv),
+        )
+
+    return run
+
+
+def _qp_scalars(qp: int, n: int, bit_depth: int) -> jnp.ndarray:
+    from nanohevc_tpu.tables import DEQUANT_SCALE, QUANT_SCALE
+
+    qp_c = max(0, min(51, int(qp)))
+    qp_per, qp_rem = qp_c // 6, qp_c % 6
+    qshift = 14 + qp_per + (n.bit_length() - 1)
+    return jnp.asarray(
+        [QUANT_SCALE[qp_rem], qshift, (1 << qshift) // 3,
+         DEQUANT_SCALE[qp_rem], qp_per, (1 << bit_depth) - 1],
+        dtype=jnp.int32,
+    ).reshape(1, 6)
+
+
+def slab_encode_plane(plane: jnp.ndarray, qp: int, n: int,
+                      *, bit_depth: int = 8, interpret: bool = False):
+    """(H, W) plane -> dict(recon (H, W), levels_slab (nby*N, W)).
+
+    qp is a static Python int.  Trailing rows below the last full
+    block-row pass through to `recon` unchanged.
+    """
+    h, w = plane.shape
+    if w % n:
+        raise ValueError(f"slab kernel requires W % N == 0, got {w} % {n}")
+    if n % 8:
+        raise ValueError(
+            f"slab kernel requires N in (8, 16, 32) (Mosaic sublane "
+            f"constraint); use fused_encode_blocks for N == {n}"
+        )
+    nby = h // n
+    src = plane.astype(jnp.int32)
+    run = _build(n, h, w, interpret)
+    recon, levels = run(_qp_scalars(qp, n, bit_depth), src)
+    if nby * n != h:
+        recon = jnp.concatenate([recon, src[nby * n :, :]], axis=0)
+    return {"recon": recon, "levels_slab": levels}
+
+
+def levels_plane_to_blocks(levels_slab: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Slab-layout levels -> (nb, N, N) raster blocks (for entropy)."""
+    from nanohevc_tpu.ops import tile_plane
+
+    return tile_plane(levels_slab, n)

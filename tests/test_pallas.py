@@ -60,3 +60,61 @@ class TestFusedKernel:
         assert recon.shape == blocks.shape
         assert np.array_equal(np.asarray(levels), np.asarray(want_levels))
         assert np.array_equal(np.asarray(recon), np.asarray(want_recon))
+
+    def test_fused_encode_planes_batch(self):
+        """Frame batch folds into the block axis; matches per-frame."""
+        from nanohevc_tpu.kernels import fused_encode_planes
+
+        n = 8
+        rng = np.random.default_rng(7)
+        planes = jnp.asarray(rng.integers(0, 256, (3, 32, 64)).astype(np.int32))
+        out = fused_encode_planes(planes, 22, n, interpret=True)
+        assert out["recon"].shape == (3, 32, 64)
+        assert out["levels"].shape == (3, 32, 64)  # (F, nb, N*N)
+        for f in range(3):
+            _, _, want_recon, want_levels = reference_path(planes[f], n, 22)
+            assert np.array_equal(
+                np.asarray(out["recon"][f]),
+                np.asarray(ops.untile_plane(want_recon, 32, 64)),
+            )
+            assert np.array_equal(
+                np.asarray(out["levels"][f]).reshape(-1, n, n),
+                np.asarray(want_levels),
+            )
+
+
+class TestSlabKernel:
+    @pytest.mark.parametrize("n", [8, 16, 32])
+    @pytest.mark.parametrize("qp", [10, 30])
+    def test_bit_exact_vs_ops_path(self, n, qp):
+        from nanohevc_tpu.kernels.slab_pipeline import (
+            levels_plane_to_blocks,
+            slab_encode_plane,
+        )
+
+        rng = np.random.default_rng(n * 100 + qp)
+        h, w = 4 * n + (n // 2), 6 * n   # partial trailing rows
+        plane = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.int32))
+        out = slab_encode_plane(plane, qp, n, interpret=True)
+
+        _, _, want_recon, want_levels = reference_path(plane, n, qp)
+        got_recon_blocks = ops.tile_plane(out["recon"], n)
+        assert np.array_equal(np.asarray(got_recon_blocks), np.asarray(want_recon))
+        # trailing partial rows pass through unchanged
+        assert np.array_equal(
+            np.asarray(out["recon"][4 * n :, :]), np.asarray(plane[4 * n :, :])
+        )
+        got_levels = levels_plane_to_blocks(out["levels_slab"], n)
+        assert np.array_equal(np.asarray(got_levels), np.asarray(want_levels))
+
+    def test_width_constraint(self):
+        from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
+
+        with pytest.raises(ValueError):
+            slab_encode_plane(jnp.zeros((16, 17), jnp.int32), 22, 8)
+
+    def test_small_n_rejected(self):
+        from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
+
+        with pytest.raises(ValueError):
+            slab_encode_plane(jnp.zeros((16, 16), jnp.int32), 22, 4)
