@@ -109,7 +109,7 @@ def _spread_phase(v: jnp.ndarray, src_phase: int, phase: jnp.ndarray,
 
 
 def _kernel(scal_ref, slab_ref, above_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
-            recon_ref, levels_ref, n: int):
+            recon_ref, levels_ref, *maybe_modes_ref, n: int):
     """One grid step: the block-row's N x W slab, entirely in lanes.
 
     scal_ref (SMEM, (1, 6)): mf, qshift, qoffset, dscale, qp_per, max_pix
@@ -157,6 +157,11 @@ def _kernel(scal_ref, slab_ref, above_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
     use_dc = e_dc <= e_pl                                        # (1, W)
     pred = jnp.where(use_dc, dc_pred + jnp.zeros_like(x), pl_pred)
     res = x - pred
+    if maybe_modes_ref:
+        # mode slab: every lane of a block carries 1 (DC) or 0 (planar)
+        maybe_modes_ref[0][:, :] = jnp.broadcast_to(
+            use_dc.astype(jnp.int32), x.shape
+        )
 
     # --- Transform -> quant -> dequant -> inverse ------------------------
     tshift = n.bit_length() - 1 + 5
@@ -198,12 +203,18 @@ def _col_weights(t: np.ndarray, width: int, n: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _build(n: int, height: int, width: int, interpret: bool):
+def _build(n: int, height: int, width: int, interpret: bool,
+           with_modes: bool = False):
     t_host = np.asarray(transform_matrix(n, use_dst=False), dtype=np.int32)
     nby = height // n
     wfwd = _col_weights(t_host, width, n)          # pass 2 of forward: T
     winv = _col_weights(t_host.T, width, n)        # pass 2 of inverse: T^T
 
+    slab_out = (
+        pl.BlockSpec((n, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((nby * n, width), jnp.int32),
+    )
+    n_outs = 3 if with_modes else 2
     call = pl.pallas_call(
         partial(_kernel, n=n),
         grid=(nby,),
@@ -222,16 +233,8 @@ def _build(n: int, height: int, width: int, interpret: bool):
             pl.BlockSpec((2 * n - 1, width), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((n, width), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, width), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nby * n, width), jnp.int32),
-            jax.ShapeDtypeStruct((nby * n, width), jnp.int32),
-        ),
+        out_specs=tuple(slab_out[0] for _ in range(n_outs)),
+        out_shape=tuple(slab_out[1] for _ in range(n_outs)),
         interpret=interpret,
     )
 
@@ -259,12 +262,27 @@ def _qp_scalars(qp: int, n: int, bit_depth: int) -> jnp.ndarray:
     ).reshape(1, 6)
 
 
+def slab_supported(n: int, width: int) -> bool:
+    """Whether the slab kernel covers this configuration."""
+    return n % 8 == 0 and width % n == 0
+
+
+def _interpret_default() -> bool:
+    """Pallas compiles via Mosaic only on TPU; interpret elsewhere."""
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
 def slab_encode_plane(plane: jnp.ndarray, qp: int, n: int,
-                      *, bit_depth: int = 8, interpret: bool = False):
-    """(H, W) plane -> dict(recon (H, W), levels_slab (nby*N, W)).
+                      *, bit_depth: int = 8, interpret: bool | None = None,
+                      with_modes: bool = False):
+    """(H, W) plane -> dict(recon (H, W), levels_slab (nby*N, W)
+    [, modes_slab (nby*N, W)]).
 
     qp is a static Python int.  Trailing rows below the last full
-    block-row pass through to `recon` unchanged.
+    block-row pass through to `recon` unchanged.  interpret=None auto-
+    selects the Pallas interpreter off-TPU.
     """
     h, w = plane.shape
     if w % n:
@@ -274,13 +292,19 @@ def slab_encode_plane(plane: jnp.ndarray, qp: int, n: int,
             f"slab kernel requires N in (8, 16, 32) (Mosaic sublane "
             f"constraint); use fused_encode_blocks for N == {n}"
         )
+    if interpret is None:
+        interpret = _interpret_default()
     nby = h // n
     src = plane.astype(jnp.int32)
-    run = _build(n, h, w, interpret)
-    recon, levels = run(_qp_scalars(qp, n, bit_depth), src)
+    run = _build(n, h, w, interpret, with_modes)
+    outs = run(_qp_scalars(qp, n, bit_depth), src)
+    recon, levels = outs[0], outs[1]
     if nby * n != h:
         recon = jnp.concatenate([recon, src[nby * n :, :]], axis=0)
-    return {"recon": recon, "levels_slab": levels}
+    result = {"recon": recon, "levels_slab": levels}
+    if with_modes:
+        result["modes_slab"] = outs[2]
+    return result
 
 
 def levels_plane_to_blocks(levels_slab: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -156,6 +156,53 @@ def encode_plane_full(
     }
 
 
+def encode_plane_fast(
+    plane: jnp.ndarray,
+    qp: int,
+    *,
+    n: int,
+    bit_depth: int = 8,
+    scan: str = "diag",
+):
+    """Slab-kernel fast path with the same outputs as encode_plane_full.
+
+    Covers the dc_planar/energy configuration (the reference encoder's
+    decision) for N in {8, 16, 32} and W % N == 0; qp must be a static
+    Python int.  ~7x the XLA path on TPU (see bench.py).
+    """
+    from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
+
+    h, w = plane.shape
+    src = plane.astype(jnp.int32)
+    out = slab_encode_plane(src, qp, n, bit_depth=bit_depth, with_modes=True)
+    levels_blocks = ops.tile_plane(out["levels_slab"], n)
+    packed = ops.scan_pack(levels_blocks, scan)
+    modes_plane = out["modes_slab"]
+    dc_wins = modes_plane[::n, ::n].reshape(-1)          # 1 = DC per block
+    from nanohevc_tpu.ops.intra import DC_MODE, PLANAR_MODE
+
+    modes = jnp.where(dc_wins == 1, DC_MODE, PLANAR_MODE).astype(jnp.int32)
+    return {
+        "recon": out["recon"],   # trailing edge rows already source-filled
+        "levels": packed,
+        "modes": modes,
+        "nnz": (packed != 0).sum(axis=1),
+    }
+
+
+def supports_fast_path(config, n: int, width: int) -> bool:
+    """True when encode_plane_fast covers this (config, plane) combo."""
+    from nanohevc_tpu.kernels.slab_pipeline import slab_supported
+
+    return (
+        config.mode_set == "dc_planar"
+        and config.decision == "energy"
+        and config.is_intra
+        and not config.use_dst(n, True)   # DST only at 4x4, unsupported
+        and slab_supported(n, width)
+    )
+
+
 @lru_cache(maxsize=None)
 def _jit_parity(n: int, bit_depth: int):
     return jax.jit(partial(encode_plane_parity, n=n, bit_depth=bit_depth))

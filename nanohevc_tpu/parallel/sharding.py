@@ -26,22 +26,39 @@ from nanohevc_tpu.ops.metrics import psnr
 
 
 def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
-                is_luma: bool = True):
-    """(F, H, W) int32 planes -> dict of batched outputs + mean PSNR."""
-    n = config.block_size if is_luma else config.chroma_block_size()
+                is_luma: bool = True, allow_fast: bool = True):
+    """(F, H, W) int32 planes -> dict of batched outputs + mean PSNR.
 
-    def one(plane):
-        return encode_plane_full(
-            plane,
-            qp,
-            n=n,
-            mode_set=config.mode_set,
-            decision=config.decision,
-            use_dst=config.use_dst(n, is_luma),
-            is_intra=config.is_intra,
-            bit_depth=config.bit_depth,
-            scan=config.scan,
-        )
+    Uses the fused slab-kernel fast path when the configuration allows
+    (dc_planar/energy, N % 8 == 0, W % N == 0) — ~7x the XLA path on
+    TPU — else the general XLA pipeline.  The fast path is disabled
+    under a sharded mesh (the SPMD partitioner cannot split the
+    Pallas custom call).
+    """
+    from nanohevc_tpu.models.all_intra import encode_plane_fast, supports_fast_path
+
+    n = config.block_size if is_luma else config.chroma_block_size()
+    width = planes.shape[-1]
+
+    if allow_fast and supports_fast_path(config, n, width):
+        def one(plane):
+            return encode_plane_fast(
+                plane, config.qp, n=n, bit_depth=config.bit_depth,
+                scan=config.scan,
+            )
+    else:
+        def one(plane):
+            return encode_plane_full(
+                plane,
+                qp,
+                n=n,
+                mode_set=config.mode_set,
+                decision=config.decision,
+                use_dst=config.use_dst(n, is_luma),
+                is_intra=config.is_intra,
+                bit_depth=config.bit_depth,
+                scan=config.scan,
+            )
 
     out = jax.vmap(one)(planes)
     frame_psnr = jax.vmap(psnr)(planes, out["recon"])
@@ -62,7 +79,9 @@ def make_batch_encoder(
     mesh, inputs are annotated P('frame', 'space', None): the frame
     batch spreads over the 'frame' axis and plane rows over 'space'.
     """
-    step = partial(_batch_step, config=config, is_luma=is_luma)
+    step = partial(
+        _batch_step, config=config, is_luma=is_luma, allow_fast=mesh is None
+    )
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
     in_shardings = (

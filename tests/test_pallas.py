@@ -118,3 +118,45 @@ class TestSlabKernel:
 
         with pytest.raises(ValueError):
             slab_encode_plane(jnp.zeros((16, 16), jnp.int32), 22, 4)
+
+
+class TestFastPath:
+    def test_encode_plane_fast_matches_full(self):
+        from nanohevc_tpu.models.all_intra import encode_plane_fast, encode_plane_full
+
+        rng = np.random.default_rng(21)
+        plane = jnp.asarray(rng.integers(0, 256, (44, 64)).astype(np.int32))
+        fast = encode_plane_fast(plane, 22, n=8)
+        full = encode_plane_full(plane, jnp.int32(22), n=8)
+        assert np.array_equal(np.asarray(fast["recon"]), np.asarray(full["recon"]))
+        assert np.array_equal(np.asarray(fast["levels"]), np.asarray(full["levels"]))
+        assert np.array_equal(np.asarray(fast["modes"]), np.asarray(full["modes"]))
+        assert np.array_equal(np.asarray(fast["nnz"]), np.asarray(full["nnz"]))
+
+    def test_supports_fast_path_rules(self):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.all_intra import supports_fast_path
+
+        ok = EncoderConfig(block_size=8, qp=22)
+        assert supports_fast_path(ok, 8, 64)
+        assert not supports_fast_path(ok, 4, 64)           # N too small
+        assert not supports_fast_path(ok, 8, 60)           # W % N != 0
+        assert not supports_fast_path(
+            EncoderConfig(block_size=8, qp=22, mode_set="all", decision="satd"),
+            8, 64,
+        )
+
+    def test_batch_encoder_uses_fast_path(self):
+        """Unsharded batch encoder output is unchanged by the fast path."""
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.parallel import make_batch_encoder
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+
+        rng = np.random.default_rng(22)
+        frames = jnp.asarray(rng.integers(0, 256, (2, 32, 64)).astype(np.int32))
+        fn = make_batch_encoder(EncoderConfig(block_size=8, qp=30))
+        out = fn(frames, jnp.int32(30))
+        for f in range(2):
+            want = encode_plane_full(frames[f], jnp.int32(30), n=8)
+            assert np.array_equal(np.asarray(out["recon"][f]), np.asarray(want["recon"]))
+            assert np.array_equal(np.asarray(out["levels"][f]), np.asarray(want["levels"]))
