@@ -91,3 +91,36 @@ class TestGraftEntry:
         small = plane[:64, :128]
         out = jax.jit(fn)(small, qp)
         assert out["recon"].shape == (64, 128)
+
+
+class TestSpatialFastPath:
+    @needs_8
+    @pytest.mark.parametrize("space", [2, 4])
+    def test_sharded_slab_matches_unsharded(self, space):
+        """shard_map'd slab kernel with ppermute halo == single-device."""
+        from nanohevc_tpu.models.all_intra import encode_plane_fast
+        from nanohevc_tpu.parallel.spatial import make_sharded_fast_encoder
+
+        mesh = make_mesh(space=space)
+        f_axis = 8 // space
+        rng = np.random.default_rng(5)
+        h = 16 * space   # 2 block-rows of 8 per shard
+        frames = rng.integers(0, 256, (f_axis, h, 64)).astype(np.int32)
+        config = EncoderConfig(block_size=8, qp=25)
+
+        fn = make_sharded_fast_encoder(config, mesh)
+        planes = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("frame", "space", None))
+        )
+        out = fn(planes)
+        for f in range(f_axis):
+            want = encode_plane_fast(jnp.asarray(frames[f]), 25, n=8)
+            assert np.array_equal(
+                np.asarray(out["recon"][f]), np.asarray(want["recon"])
+            ), f
+            # levels rows are space-sharded per-shard blocks; reassemble
+            got_levels = np.asarray(out["levels"][f])
+            assert np.array_equal(got_levels, np.asarray(want["levels"])), f
+            assert np.array_equal(
+                np.asarray(out["modes"][f]), np.asarray(want["modes"])
+            ), f
