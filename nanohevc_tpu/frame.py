@@ -10,7 +10,7 @@ FrameBufferPool matter only for host buffer reuse.
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional, Set, Tuple
+from typing import List, Set, Tuple
 
 import numpy as np
 

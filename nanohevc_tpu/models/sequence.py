@@ -20,7 +20,7 @@ import os
 import struct
 import time
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 
@@ -84,7 +84,6 @@ def encode_sequence(
     report_every: int = 0,
 ) -> SequenceResult:
     """Encode `num_frames` frames of a YUV420p file to a bitstream."""
-    import jax
     import jax.numpy as jnp
 
     from nanohevc_tpu.parallel.sharding import make_batch_encoder

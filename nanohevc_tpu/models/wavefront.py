@@ -25,15 +25,13 @@ closes the loop the reference never could.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Tuple
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from nanohevc_tpu import ops
-from nanohevc_tpu.ops.intra import DC_MODE, PLANAR_MODE
 from nanohevc_tpu.ops.tiling import extract_refs_at
 
 

@@ -24,7 +24,7 @@ blocks x all modes at once (ops.intra.angular_predict_*).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import numpy as np
 

@@ -10,10 +10,9 @@ vector layout produced by ops.tiling.extract_refs.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
-import numpy as np
 
 from nanohevc_tpu.ops.angular_tables import angular_tables
 

@@ -9,7 +9,6 @@ float64 oracle is irrelevant and covered by test tolerances).
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from nanohevc_tpu.ref.metrics import hadamard_matrix
 

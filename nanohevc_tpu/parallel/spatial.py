@@ -15,11 +15,9 @@ communication is nearest-neighbor on the 'space' ring.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from nanohevc_tpu.config import EncoderConfig
 

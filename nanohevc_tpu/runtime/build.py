@@ -8,7 +8,6 @@ No pip/network involvement.
 from __future__ import annotations
 
 import hashlib
-import os
 import subprocess
 from pathlib import Path
 
