@@ -89,6 +89,33 @@ def cmd_encode(args: argparse.Namespace) -> None:
     frame = Frame.from_yuv420p(data[:expected], args.height, args.width)
     print(f"Loaded: {args.input} ({args.width}x{args.height})")
 
+    if args.pipeline == "closed-loop":
+        from nanohevc_tpu.models.wavefront import encode_frame_closed_loop
+
+        config = EncoderConfig(
+            block_size=args.block_size,
+            qp=args.qp,
+            mode_set="all" if args.mode_search else "dc_planar",
+            decision="satd" if args.mode_search else "energy",
+        )
+        recon, bitstream = encode_frame_closed_loop(frame, config)
+        if args.output:
+            with open(args.output, "wb") as f:
+                f.write(recon.to_yuv420p())
+            print(f"Wrote: {args.output}")
+        y_psnr = psnr(frame.y.data.astype(np.uint8), recon.y.data.astype(np.uint8))
+        print("\nResults:")
+        print(f"  QP: {args.qp}  Y-PSNR: {y_psnr:.2f} dB (reconstruction-fed)")
+        if args.bitstream:
+            with open(args.bitstream, "wb") as f:
+                f.write(bitstream)
+            raw = args.width * args.height * 3 // 2
+            print(
+                f"  Bitstream: {args.bitstream} ({len(bitstream)} bytes, "
+                f"{raw / len(bitstream):.1f}x vs raw, decodable)"
+            )
+        return
+
     if args.pipeline == "predict":
         recon, stats = encode_frame_intra(frame, args.block_size, args.output)
         if args.output:
@@ -173,6 +200,18 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
             print(f"    {stage:8s} {s['total_s']:8.3f}s over {s['calls']} calls")
 
 
+def cmd_decode(args: argparse.Namespace) -> None:
+    from nanohevc_tpu.models.wavefront import decode_frame
+
+    with open(args.input, "rb") as f:
+        bitstream = f.read()
+    frame = decode_frame(bitstream)
+    with open(args.output, "wb") as f:
+        f.write(frame.to_yuv420p())
+    print(f"Decoded: {args.input} -> {args.output} "
+          f"({frame.width}x{frame.height})")
+
+
 def main(argv: list[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         prog="nano-hevc-tpu",
@@ -195,10 +234,11 @@ def main(argv: list[str] | None = None) -> None:
     enc.add_argument("--qp", type=int, default=22, help="Quantization parameter 0-51")
     enc.add_argument(
         "--pipeline",
-        choices=("predict", "full"),
+        choices=("predict", "full", "closed-loop"),
         default="predict",
         help="predict = reference-parity prediction-only; "
-        "full = predict+transform+quant+recon",
+        "full = predict+transform+quant+recon (open loop); "
+        "closed-loop = reconstruction-fed wavefront (decodable bitstream)",
     )
     enc.add_argument(
         "--mode-search",
@@ -230,6 +270,13 @@ def main(argv: list[str] | None = None) -> None:
     )
     seq.add_argument("--report-every", type=int, default=0)
     seq.set_defaults(func=cmd_encode_seq)
+
+    dec = sub.add_parser(
+        "decode", help="Decode a closed-loop bitstream to YUV420p"
+    )
+    dec.add_argument("input", help="Input bitstream file")
+    dec.add_argument("-o", "--output", required=True, help="Output YUV path")
+    dec.set_defaults(func=cmd_decode)
 
     args = parser.parse_args(argv)
     args.func(args)

@@ -138,6 +138,85 @@ def encode_plane_closed_loop(
     return {"recon": out_recon, "levels": levels, "modes": modes}
 
 
+def encode_frame_closed_loop(frame, config) -> tuple:
+    """Closed-loop encode of a Frame -> (recon Frame, bitstream bytes).
+
+    The bitstream is fully decodable to pixels by decode_frame (unlike
+    the open-loop path, whose prediction a decoder cannot reproduce).
+    """
+    import numpy as np
+
+    from nanohevc_tpu.frame import Frame
+    from nanohevc_tpu.runtime.bitstream import assemble_bitstream
+
+    recon = Frame.zeros(frame.height, frame.width, dtype=np.int16)
+    plane_levels = {}
+    plane_modes = {}
+    for name, src, dst in (
+        ("Y", frame.y, recon.y),
+        ("U", frame.u, recon.u),
+        ("V", frame.v, recon.v),
+    ):
+        is_luma = name == "Y"
+        bs = config.block_size if is_luma else config.chroma_block_size()
+        out = encode_plane_closed_loop(
+            jnp.asarray(src.data.astype(np.int32)),
+            jnp.int32(config.qp),
+            n=bs,
+            mode_set=config.mode_set,
+            decision=config.decision,
+            use_dst=config.use_dst(bs, is_luma),
+            bit_depth=config.bit_depth,
+            scan=config.scan,
+        )
+        dst.data[...] = np.asarray(out["recon"]).astype(np.int16)
+        plane_levels[name] = (np.asarray(out["levels"]), bs)
+        plane_modes[name] = np.asarray(out["modes"])
+    bitstream = assemble_bitstream(
+        frame.width, frame.height, config.qp, plane_levels, plane_modes
+    )
+    return recon, bitstream
+
+
+def decode_frame(bitstream: bytes):
+    """Pixel-exact decode of a closed-loop frame bitstream -> Frame.
+
+    Self-contained: geometry and QP come from the SPS/PPS in the
+    stream.  The per-plane block size is carried by each slice header.
+    Regions not covered by full blocks decode as 0 (the encoder keeps
+    source pixels there but they are never coded); use block-aligned
+    dimensions for full-frame fidelity.
+    """
+    import numpy as np
+
+    from nanohevc_tpu.frame import Frame
+    from nanohevc_tpu.runtime.bitstream import parse_bitstream
+
+    parsed = parse_bitstream(bitstream)
+    params = parsed.get("params", {})
+    width, height, qp = params["width"], params["height"], params["qp"]
+    recon = Frame.zeros(height, width, dtype=np.int16)
+    for name, dst, (h, w) in (
+        ("Y", recon.y, (height, width)),
+        ("U", recon.u, (height // 2, width // 2)),
+        ("V", recon.v, (height // 2, width // 2)),
+    ):
+        sl = parsed[name]
+        bs = sl["block_size"]
+        use_dst = name == "Y" and bs == 4
+        plane = decode_plane(
+            jnp.asarray(sl["levels"]),
+            jnp.asarray(sl["modes"]),
+            jnp.int32(qp),
+            n=bs,
+            height=h,
+            width=w,
+            use_dst=use_dst,
+        )
+        dst.data[...] = np.asarray(plane).astype(np.int16)
+    return recon
+
+
 def decode_plane(
     levels: jnp.ndarray,
     modes: jnp.ndarray,

@@ -106,6 +106,58 @@ def _unescape(b: bytes) -> bytes:
     return bytes(out)
 
 
+class _BitReader:
+    """MSB-first bit reader with exp-Golomb (mirrors the C++ writer)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def bit(self) -> int:
+        byte = self.data[self.pos >> 3] if (self.pos >> 3) < len(self.data) else 0
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.bit() == 0:
+            zeros += 1
+            if zeros > 64:
+                raise ValueError("malformed exp-Golomb")
+        v = 1
+        for _ in range(zeros):
+            v = (v << 1) | self.bit()
+        return v - 1
+
+
+def parse_params(payload: bytes) -> dict:
+    """Decode a parameter-set RBSP written by nhr_write_params."""
+    r = _BitReader(payload)
+    magic = r.bits(16)
+    if magic != 0x4E48:
+        raise ValueError(f"bad parameter-set magic: {magic:#x}")
+    which = r.bits(8)
+    if which == 0:
+        return {"type": "vps", "version": r.ue(), "reserved": r.ue()}
+    if which == 1:
+        return {
+            "type": "sps",
+            "width": r.ue(),
+            "height": r.ue(),
+            "block_size": r.ue(),
+            "chroma_format_idc": r.ue(),
+            "bit_depth_luma_minus8": r.ue(),
+        }
+    return {"type": "pps", "qp": r.ue(), "scan_idx": r.ue()}
+
+
 def parse_bitstream(data: bytes) -> Dict[str, dict]:
     """Inverse of assemble_bitstream.
 
@@ -115,6 +167,9 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
     names = {0: "Y", 1: "U", 2: "V"}
     planes: Dict[str, dict] = {}
     for nal_type, payload in _split_nals(data):
+        if nal_type in (entropy.NAL_SPS, entropy.NAL_PPS):
+            planes.setdefault("params", {}).update(parse_params(payload))
+            continue
         if nal_type != entropy.NAL_SLICE:
             continue
         plane_id, block_size, nb, mlen, plen = struct.unpack("<HHIII", payload[:16])

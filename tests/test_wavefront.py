@@ -128,3 +128,36 @@ class TestDecoder:
         )
         assert np.array_equal(np.asarray(dec), np.asarray(enc["recon"]))
         assert np.asarray(enc["modes"]).max() >= 2  # some angular chosen
+
+
+class TestFrameCodec:
+    def test_encode_decode_frame_pixel_exact(self):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.all_intra import create_test_frame
+        from nanohevc_tpu.models.wavefront import decode_frame, encode_frame_closed_loop
+
+        frame = create_test_frame(64, 64)   # block-aligned
+        config = EncoderConfig(block_size=8, qp=24)
+        recon, bitstream = encode_frame_closed_loop(frame, config)
+        decoded = decode_frame(bitstream)
+        assert np.array_equal(decoded.y.data, recon.y.data)
+        assert np.array_equal(decoded.u.data, recon.u.data)
+        assert np.array_equal(decoded.v.data, recon.v.data)
+
+    def test_cli_encode_decode_roundtrip(self, tmp_path, capsys):
+        from nanohevc_tpu.cli import main
+        from nanohevc_tpu.models.all_intra import create_test_frame
+
+        frame = create_test_frame(48, 64)
+        src = tmp_path / "in.yuv"
+        src.write_bytes(frame.to_yuv420p())
+        recon_path = tmp_path / "recon.yuv"
+        bs_path = tmp_path / "out.bin"
+        main(["encode", str(src), "--width", "64", "--height", "48",
+              "--pipeline", "closed-loop", "--qp", "20",
+              "-o", str(recon_path), "--bitstream", str(bs_path)])
+        out_path = tmp_path / "decoded.yuv"
+        main(["decode", str(bs_path), "-o", str(out_path)])
+        text = capsys.readouterr().out
+        assert "decodable" in text and "Decoded:" in text
+        assert out_path.read_bytes() == recon_path.read_bytes()
