@@ -70,19 +70,28 @@ def decide_modes(
         mode = jnp.where(dc_wins, DC_MODE, PLANAR_MODE).astype(jnp.int32)
         return pred, mode
 
-    # 35-mode search: seed with planar (mode 0), fold in DC then angular.
-    best_cost, best_mode = cost_pl, jnp.zeros_like(cost_pl, dtype=jnp.int32)
+    # 35-mode search: seed with planar (mode 0), fold in DC then the
+    # angular sweep.  Each angular mode is one gather-free MXU matmul
+    # (ops.angular_predict_mm — TPU gathers serialize and ran 600x
+    # slower); the best prediction rides along in the running minimum,
+    # so memory stays O(nb * N^2) and no re-prediction pass is needed.
+    from nanohevc_tpu.ops.intra import angular_predict_mm
+
+    best_cost = cost_pl
+    best_mode = jnp.zeros_like(cost_pl, dtype=jnp.int32)
+    best_pred = pl
     take = cost_dc < best_cost
     best_cost = jnp.where(take, cost_dc, best_cost)
     best_mode = jnp.where(take, DC_MODE, best_mode)
+    best_pred = jnp.where(take[:, None, None], dc, best_pred)
     for m in range(2, 35):
-        pred_m = ops.angular_predict_modes(refs, n, (m,))[:, 0]
+        pred_m = angular_predict_mm(refs, n, m)
         cost_m = _cost(blocks, pred_m, decision)
         take = cost_m < best_cost
         best_cost = jnp.where(take, cost_m, best_cost)
         best_mode = jnp.where(take, m, best_mode)
-    pred = ops.predict_by_mode(refs, n, best_mode)
-    return pred, best_mode
+        best_pred = jnp.where(take[:, None, None], pred_m, best_pred)
+    return best_pred, best_mode
 
 
 # ---------------------------------------------------------------------------

@@ -116,13 +116,13 @@ def encode_sequence(
             )
             out.write(header)
 
-        done = start
-        while done < num_frames:
-            take = min(batch, num_frames - done)
+        def dispatch(first: int):
+            """Load + enqueue one device batch; returns pending handle."""
+            take = min(batch, num_frames - first)
             with sw.time("load"):
-                planes = list(_read_frames(input_path, width, height, done, take))
+                planes = list(_read_frames(input_path, width, height, first, take))
             if not planes:
-                break
+                return None
             take = len(planes)
             # pad ragged tail batches to the full batch size so every
             # device call shares one compiled program
@@ -131,20 +131,24 @@ def encode_sequence(
             uvs = np.stack(
                 [p[1] for p in padded] + [p[2] for p in padded]
             ).astype(np.int32)
-
-            with sw.time("device"):
-                y_out = luma_fn(jnp.asarray(ys), qp)
+            with sw.time("dispatch"):
+                y_out = luma_fn(jnp.asarray(ys), qp)      # async enqueue
                 c_out = chroma_fn(jnp.asarray(uvs), qp)
+            return first, take, y_out, c_out
+
+        def drain(pending) -> int:
+            """Fetch a finished batch, entropy-code it, append, checkpoint."""
+            first, take, y_out, c_out = pending
+            with sw.time("fetch"):
                 y_levels = np.asarray(y_out["levels"])[:take]
                 y_modes = np.asarray(y_out["modes"])[:take]
                 c_levels = np.asarray(c_out["levels"])
                 c_modes = np.asarray(c_out["modes"])
                 psnrs.extend(float(v) for v in np.asarray(y_out["psnr"])[:take])
-
             with sw.time("entropy"):
                 cb = config.chroma_block_size()
                 for i in range(take):
-                    aud = entropy.wrap_nal(NAL_AUD, struct.pack("<I", done + i))
+                    aud = entropy.wrap_nal(NAL_AUD, struct.pack("<I", first + i))
                     frame_bs = assemble_bitstream(
                         width,
                         height,
@@ -164,13 +168,25 @@ def encode_sequence(
                     # strip them here (sequence carries one global set)
                     frame_bs = _strip_param_sets(frame_bs)
                     out.write(aud + frame_bs)
-
-            done += take
             out.flush()
             with open(progress_path, "w") as pf:
-                json.dump({"frames_done": done, "bytes_written": out.tell()}, pf)
-            if report_every and (done - start) % report_every == 0:
-                print(f"  frame {done}/{num_frames}", flush=True)
+                json.dump(
+                    {"frames_done": first + take, "bytes_written": out.tell()}, pf
+                )
+            if report_every and (first + take - start) % report_every == 0:
+                print(f"  frame {first + take}/{num_frames}", flush=True)
+            return first + take
+
+        # Software pipeline: batch i+1 is enqueued on device before
+        # batch i's results are fetched and entropy-coded on the host,
+        # so the sequential entropy stage overlaps device compute.
+        done = start
+        pending = dispatch(done) if done < num_frames else None
+        while pending is not None:
+            nxt_first = pending[0] + pending[1]
+            nxt = dispatch(nxt_first) if nxt_first < num_frames else None
+            done = drain(pending)
+            pending = nxt
 
         bytes_written = out.tell()
 

@@ -77,3 +77,34 @@ def angular_tables(n: int, modes: Tuple[int, ...] = tuple(range(2, 35))) -> Angu
         idx=np.stack(idxs),
         frac=np.stack(fracs),
     )
+
+
+@lru_cache(maxsize=None)
+def angular_weight_matrices(
+    n: int, modes: Tuple[int, ...] = tuple(range(2, 35))
+) -> np.ndarray:
+    """Per-mode dense weight matrices: the gather-free formulation.
+
+    Folds the reference-array construction and the 1/32-pel lerp into
+    one static matrix per mode:  pred_flat = (refs @ W_m + 16) >> 5,
+    with W_m of shape (4N+2, N*N) holding the two lerp weights
+    (32-frac at the source of idx, frac at the source of idx+1) routed
+    through the src table.  Gathers are catastrophically slow on TPU
+    (a 35-mode search ran at 2 Mpix/s gather-based); as matmuls the
+    whole mode sweep rides the MXU.  Returns (len(modes), 4N+2, N*N)
+    int32.
+    """
+    tabs = angular_tables(n, modes)
+    m = len(modes)
+    ref_len = 3 * n + 1
+    out = np.zeros((m, 4 * n + 2, n * n), np.int32)
+    for mi in range(m):
+        src = tabs.src[mi]
+        idx = tabs.idx[mi].reshape(-1)
+        frac = tabs.frac[mi].reshape(-1)
+        for p in range(n * n):
+            a = src[idx[p]]
+            b = src[min(idx[p] + 1, ref_len - 1)]
+            out[mi, a, p] += 32 - frac[p]
+            out[mi, b, p] += frac[p]
+    return out

@@ -12,9 +12,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
-from nanohevc_tpu.ops.angular_tables import angular_tables
+from nanohevc_tpu.ops.angular_tables import angular_tables, angular_weight_matrices
 
 # Mode numbering follows HEVC: 0 = planar, 1 = DC, 2..34 angular.
 PLANAR_MODE = 0
@@ -93,6 +94,48 @@ def angular_predict_modes(
 ) -> jnp.ndarray:
     """A static subset of angular modes: -> (nb, len(modes), N, N)."""
     return _angular_from_tables(refs, n, angular_tables(n, tuple(modes)))
+
+
+def angular_predict_mm(refs: jnp.ndarray, n: int, mode: int) -> jnp.ndarray:
+    """One angular mode, gather-free: (refs @ W_mode + 16) >> 5 on MXU.
+
+    Bit-identical to the gather path (both implement the same lerp);
+    preferred on TPU where gathers serialize.
+    """
+    w = jnp.asarray(angular_weight_matrices(n, (mode,))[0])    # (4N+2, N*N)
+    acc = jnp.einsum("br,rp->bp", refs, w, preferred_element_type=jnp.int32)
+    return ((acc + 16) >> 5).reshape(refs.shape[0], n, n)
+
+
+def predict_by_mode_mm(refs: jnp.ndarray, n: int, mode_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free per-block mode application.
+
+    Selects each block's weight matrix by a one-hot (nb, 33) matmul
+    over the stacked tables — pred = (refs_b @ W[mode_b]) computed as
+    einsum with the one-hot folded in — then overlays DC/planar.
+    """
+    nb = refs.shape[0]
+    w_all = jnp.asarray(angular_weight_matrices(n))            # (33, R, N*N)
+    onehot = jax.nn.one_hot(
+        jnp.clip(mode_idx - 2, 0, 32), 33, dtype=jnp.int32
+    )                                                           # (nb, 33)
+    # per-block weight matrix: (nb, R, N*N) is too big; instead compute
+    # all-mode predictions per block chunk? Fold differently:
+    # acc[b, p] = sum_r refs[b, r] * W[m_b, r, p]
+    #           = sum_m onehot[b, m] * (refs[b] @ W[m])[p]
+    per_mode = jnp.einsum(
+        "br,mrp->bmp", refs, w_all, preferred_element_type=jnp.int32
+    )                                                           # (nb, 33, N*N)
+    acc = jnp.einsum(
+        "bm,bmp->bp", onehot, per_mode, preferred_element_type=jnp.int32
+    )
+    ang_pred = ((acc + 16) >> 5).reshape(nb, n, n)
+    sel = mode_idx[:, None, None]
+    return jnp.where(
+        sel == PLANAR_MODE,
+        planar_predict(refs, n),
+        jnp.where(sel == DC_MODE, dc_predict(refs, n), ang_pred),
+    )
 
 
 def predict_by_mode(refs: jnp.ndarray, n: int, mode_idx: jnp.ndarray) -> jnp.ndarray:

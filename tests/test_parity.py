@@ -237,3 +237,30 @@ class TestSSIM:
         nz = np.asarray(ops.count_nonzero_blocks(jnp.asarray(lv)))
         for i in range(4):
             assert nz[i] == oracle.count_nonzero(lv[i])
+
+
+class TestMatmulAngular:
+    @pytest.mark.parametrize("n", SIZES)
+    def test_mm_matches_gather_path(self, n):
+        """Gather-free matmul formulation is bit-identical to gathers."""
+        from nanohevc_tpu.ops.intra import angular_predict_mm
+
+        rng = np.random.default_rng(31)
+        plane = random_plane(rng, 2 * n, 3 * n)
+        refs = ops.extract_refs(jnp.asarray(plane), n)
+        want = np.asarray(ops.angular_predict_all(refs, n))
+        for mi, mode in enumerate(range(2, 35)):
+            got = np.asarray(angular_predict_mm(refs, n, mode))
+            assert np.array_equal(got, want[:, mi]), mode
+
+    def test_predict_by_mode_mm_matches(self):
+        from nanohevc_tpu.ops.intra import predict_by_mode_mm
+
+        n = 8
+        rng = np.random.default_rng(32)
+        plane = random_plane(rng, 4 * n, 4 * n)
+        refs = ops.extract_refs(jnp.asarray(plane), n)
+        modes = jnp.asarray(rng.integers(0, 35, refs.shape[0]).astype(np.int32))
+        want = np.asarray(ops.predict_by_mode(refs, n, modes))
+        got = np.asarray(predict_by_mode_mm(refs, n, modes))
+        assert np.array_equal(got, want)
