@@ -249,7 +249,9 @@ def decode_plane(
         bidx = ys * nbx + xs
         safe = jnp.where(ok, bidx, 0)
         refs = extract_refs_at(recon, ys, xs, n)
-        pred = ops.predict_by_mode(refs, n, modes[safe])
+        from nanohevc_tpu.ops.intra import predict_by_mode_mm
+
+        pred = predict_by_mode_mm(refs, n, modes[safe])
         rec = jnp.clip(pred + res_blocks[safe], 0, (1 << bit_depth) - 1)
         return _scatter_blocks(recon, rec, ys, xs, ok, n), None
 
