@@ -32,8 +32,8 @@ fill.  Levels come out in slab layout (levels[y, x] = coefficient
 converts for the entropy stage.  Bit-exact vs the jnp ops path (and
 hence the numpy oracle / reference): tests/test_pallas.py.
 
-Constraints: W % N == 0 and N in {8, 16, 32} (Mosaic sublane rules);
-4x4 uses fused_encode_blocks instead.
+Constraints: W % N == 0, N in {4, 8, 16, 32}.  Slabs are max(N, 8)
+rows (Mosaic sublane rules), so N == 4 packs two block-rows per slab.
 """
 
 from __future__ import annotations
@@ -110,19 +110,45 @@ def _spread_phase(v: jnp.ndarray, src_phase: int, phase: jnp.ndarray,
 
 def _kernel(scal_ref, slab_ref, above_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
             recon_ref, levels_ref, *maybe_modes_ref, n: int):
-    """One grid step: the block-row's N x W slab, entirely in lanes.
+    """One grid step: a slab of max(N, 8) rows, entirely in lanes.
+
+    Mosaic requires >= 8 sublanes per block, so for N == 4 each slab
+    carries two block-rows, processed in sequence within the step (the
+    second one's top reference is a source row inside the same slab —
+    open-loop semantics make this dependency-free).
 
     scal_ref (SMEM, (1, 6)): mf, qshift, qoffset, dscale, qp_per, max_pix
-    slab_ref / above_ref: (N, W) source slabs (above = previous row's)
+    slab_ref / above_ref: (max(N,8), W) source slabs (above = previous)
     t_ref / tt_ref: (N, N) transform matrix and transpose
     wfwd_ref / winv_ref: (2N-1, W) column-pass weight rows for T / T^T
     """
     by = pl.program_id(0)
-    w = slab_ref.shape[1]
+    slab_rows = slab_ref.shape[0]
+    for r in range(slab_rows // n):
+        if r == 0:
+            above = jnp.where(
+                by == 0, BOUNDARY, above_ref[slab_rows - 1 : slab_rows, :]
+            )
+        else:
+            above = slab_ref[r * n - 1 : r * n, :]
+        level, recon, use_dc = _encode_block_row(
+            scal_ref, slab_ref[r * n : (r + 1) * n, :], above,
+            t_ref, tt_ref, wfwd_ref, winv_ref, n,
+        )
+        sl = slice(r * n, (r + 1) * n)
+        levels_ref[sl, :] = level
+        recon_ref[sl, :] = recon
+        if maybe_modes_ref:
+            maybe_modes_ref[0][sl, :] = jnp.broadcast_to(
+                use_dc.astype(jnp.int32), recon.shape
+            )
 
-    x = slab_ref[:, :]                                           # (n, W)
-    above = jnp.where(by == 0, BOUNDARY, above_ref[n - 1 : n, :])  # (1, W)
 
+def _encode_block_row(scal_ref, x, above, t_ref, tt_ref, wfwd_ref, winv_ref,
+                      n: int):
+    """One block-row: (n, W) pixels + (1, W) top row -> (level, recon,
+    use_dc)."""
+    w = x.shape[1]
     phase = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) % n
 
     # Left reference column LC[i, c] = x[i, blk(c)*N - 1]; 128 for blk 0.
@@ -157,11 +183,6 @@ def _kernel(scal_ref, slab_ref, above_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
     use_dc = e_dc <= e_pl                                        # (1, W)
     pred = jnp.where(use_dc, dc_pred + jnp.zeros_like(x), pl_pred)
     res = x - pred
-    if maybe_modes_ref:
-        # mode slab: every lane of a block carries 1 (DC) or 0 (planar)
-        maybe_modes_ref[0][:, :] = jnp.broadcast_to(
-            use_dc.astype(jnp.int32), x.shape
-        )
 
     # --- Transform -> quant -> dequant -> inverse ------------------------
     tshift = n.bit_length() - 1 + 5
@@ -175,7 +196,6 @@ def _kernel(scal_ref, slab_ref, above_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
     level = jnp.sign(coeff) * jnp.right_shift(
         jnp.abs(coeff) * mf + qoffset, qshift
     )
-    levels_ref[:, :] = level
 
     dscale = scal_ref[0, 3]
     qp_per = scal_ref[0, 4]
@@ -188,7 +208,8 @@ def _kernel(scal_ref, slab_ref, above_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
     ti = (_row_pass(deq, tt_ref, n) + rnd) >> tshift
     rec_res = (_col_pass(ti, winv_ref, n) + rnd) >> tshift
 
-    recon_ref[:, :] = jnp.clip(pred + rec_res, 0, scal_ref[0, 5])
+    recon = jnp.clip(pred + rec_res, 0, scal_ref[0, 5])
+    return level, recon, use_dc
 
 
 def _col_weights(t: np.ndarray, width: int, n: int) -> np.ndarray:
@@ -206,25 +227,28 @@ def _col_weights(t: np.ndarray, width: int, n: int) -> np.ndarray:
 def _build(n: int, height: int, width: int, interpret: bool,
            with_modes: bool = False):
     t_host = np.asarray(transform_matrix(n, use_dst=False), dtype=np.int32)
-    nby = height // n
+    slab_rows = max(n, 8)                          # Mosaic sublane minimum
+    nslabs = height // slab_rows
     wfwd = _col_weights(t_host, width, n)          # pass 2 of forward: T
     winv = _col_weights(t_host.T, width, n)        # pass 2 of inverse: T^T
 
     slab_out = (
-        pl.BlockSpec((n, width), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        jax.ShapeDtypeStruct((nby * n, width), jnp.int32),
+        pl.BlockSpec((slab_rows, width), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((nslabs * slab_rows, width), jnp.int32),
     )
     n_outs = 3 if with_modes else 2
     call = pl.pallas_call(
         partial(_kernel, n=n),
-        grid=(nby,),
+        grid=(nslabs,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((n, width), lambda i: (i, 0),
+            pl.BlockSpec((slab_rows, width), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            # previous block-row's slab (its last row is the top
-            # reference); clamped at 0 and masked in-kernel for by == 0
-            pl.BlockSpec((n, width), lambda i: (jnp.maximum(i - 1, 0), 0),
+            # previous slab (its last row is the top reference);
+            # clamped at 0 and masked in-kernel for slab 0
+            pl.BlockSpec((slab_rows, width),
+                         lambda i: (jnp.maximum(i - 1, 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -264,7 +288,7 @@ def _qp_scalars(qp: int, n: int, bit_depth: int) -> jnp.ndarray:
 
 def slab_supported(n: int, width: int) -> bool:
     """Whether the slab kernel covers this configuration."""
-    return n % 8 == 0 and width % n == 0
+    return n in (4, 8, 16, 32) and width % n == 0
 
 
 def _interpret_default() -> bool:
@@ -287,23 +311,32 @@ def slab_encode_plane(plane: jnp.ndarray, qp: int, n: int,
     h, w = plane.shape
     if w % n:
         raise ValueError(f"slab kernel requires W % N == 0, got {w} % {n}")
-    if n % 8:
-        raise ValueError(
-            f"slab kernel requires N in (8, 16, 32) (Mosaic sublane "
-            f"constraint); use fused_encode_blocks for N == {n}"
-        )
+    if n not in (4, 8, 16, 32):
+        raise ValueError(f"unsupported block size: {n}")
     if interpret is None:
         interpret = _interpret_default()
     nby = h // n
     src = plane.astype(jnp.int32)
-    run = _build(n, h, w, interpret, with_modes)
-    outs = run(_qp_scalars(qp, n, bit_depth), src)
-    recon, levels = outs[0], outs[1]
-    if nby * n != h:
-        recon = jnp.concatenate([recon, src[nby * n :, :]], axis=0)
+
+    # Pad rows so every full block-row lands inside a full slab
+    # (slabs are max(N, 8) rows; for N == 4 a slab holds two block-
+    # rows).  Pad block-rows' outputs are discarded.
+    slab_rows = max(n, 8)
+    rows_needed = nby * n
+    h_pad = -(-rows_needed // slab_rows) * slab_rows
+    x = src
+    if h_pad > h:
+        x = jnp.concatenate(
+            [src, jnp.zeros((h_pad - h, w), jnp.int32)], axis=0
+        )
+    run = _build(n, h_pad, w, interpret, with_modes)
+    outs = run(_qp_scalars(qp, n, bit_depth), x[:h_pad])
+    recon, levels = outs[0][:rows_needed], outs[1][:rows_needed]
+    if rows_needed != h:
+        recon = jnp.concatenate([recon, src[rows_needed:, :]], axis=0)
     result = {"recon": recon, "levels_slab": levels}
     if with_modes:
-        result["modes_slab"] = outs[2]
+        result["modes_slab"] = outs[2][:rows_needed]
     return result
 
 

@@ -199,15 +199,20 @@ def encode_plane_fast(
     }
 
 
-def supports_fast_path(config, n: int, width: int) -> bool:
-    """True when encode_plane_fast covers this (config, plane) combo."""
+def supports_fast_path(config, n: int, width: int, is_luma: bool = True) -> bool:
+    """True when encode_plane_fast covers this (config, plane) combo.
+
+    The slab kernel implements the DCT only, so 4x4 luma intra (which
+    the DST-VII rule covers) stays on the XLA path; 4x4 chroma rides
+    the kernel.
+    """
     from nanohevc_tpu.kernels.slab_pipeline import slab_supported
 
     return (
         config.mode_set == "dc_planar"
         and config.decision == "energy"
         and config.is_intra
-        and not config.use_dst(n, True)   # DST only at 4x4, unsupported
+        and not config.use_dst(n, is_luma)
         and slab_supported(n, width)
     )
 

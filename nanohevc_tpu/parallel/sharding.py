@@ -40,7 +40,7 @@ def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
     n = config.block_size if is_luma else config.chroma_block_size()
     width = planes.shape[-1]
 
-    if allow_fast and supports_fast_path(config, n, width):
+    if allow_fast and supports_fast_path(config, n, width, is_luma):
         def one(plane):
             return encode_plane_fast(
                 plane, config.qp, n=n, bit_depth=config.bit_depth,

@@ -113,11 +113,26 @@ class TestSlabKernel:
         with pytest.raises(ValueError):
             slab_encode_plane(jnp.zeros((16, 17), jnp.int32), 22, 8)
 
-    def test_small_n_rejected(self):
-        from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
+    @pytest.mark.parametrize("shape", [(16, 16), (20, 24), (12, 16)])
+    def test_n4_two_blockrows_per_slab(self, shape):
+        """N == 4 packs two block-rows per slab; matches the ops path."""
+        from nanohevc_tpu.kernels.slab_pipeline import (
+            levels_plane_to_blocks,
+            slab_encode_plane,
+        )
 
-        with pytest.raises(ValueError):
-            slab_encode_plane(jnp.zeros((16, 16), jnp.int32), 22, 4)
+        n = 4
+        rng = np.random.default_rng(hash(shape) % 2**31)
+        plane = jnp.asarray(rng.integers(0, 256, shape).astype(np.int32))
+        out = slab_encode_plane(plane, 26, n, interpret=True)
+        _, _, want_recon, want_levels = reference_path(plane, n, 26)
+        assert np.array_equal(
+            np.asarray(ops.tile_plane(out["recon"], n)), np.asarray(want_recon)
+        )
+        assert np.array_equal(
+            np.asarray(levels_plane_to_blocks(out["levels_slab"], n)),
+            np.asarray(want_levels),
+        )
 
 
 class TestFastPath:
@@ -139,7 +154,8 @@ class TestFastPath:
 
         ok = EncoderConfig(block_size=8, qp=22)
         assert supports_fast_path(ok, 8, 64)
-        assert not supports_fast_path(ok, 4, 64)           # N too small
+        assert not supports_fast_path(ok, 4, 64)           # 4x4 luma -> DST
+        assert supports_fast_path(ok, 4, 64, is_luma=False)  # 4x4 chroma ok
         assert not supports_fast_path(ok, 8, 60)           # W % N != 0
         assert not supports_fast_path(
             EncoderConfig(block_size=8, qp=22, mode_set="all", decision="satd"),
