@@ -88,24 +88,32 @@ def _col_pass(x: jnp.ndarray, w_ref, n: int) -> jnp.ndarray:
 
 
 def _block_sum(v: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(1, W) -> (1, W): every lane gets its block's lane-sum."""
-    acc = None
-    for d in range(-(n - 1), n):
-        ok = jnp.logical_and(phase - d >= 0, phase - d < n).astype(jnp.int32)
-        term = _roll(v, d) * ok
-        acc = term if acc is None else acc + term
-    return acc
+    """(1, W) -> (1, W): every lane gets its block's lane-sum.
+
+    Butterfly exchange over the aligned n-lane groups: at step k each
+    lane adds its XOR-k partner (always inside the same block since
+    blocks are n-aligned and k < n), so the full group sum lands on
+    every lane in log2(n) steps of two rolls each — vs 2n-1 rolls for
+    the naive mask-and-shift form.
+    """
+    s = v
+    k = 1
+    while k < n:
+        partner = jnp.where((phase & k) != 0, _roll(s, k), _roll(s, -k))
+        s = s + partner
+        k *= 2
+    return s
 
 
 def _spread_phase(v: jnp.ndarray, src_phase: int, phase: jnp.ndarray,
                   n: int) -> jnp.ndarray:
-    """Every lane gets its block's lane at phase src_phase."""
-    acc = None
-    for d in range(-(n - 1), n):
-        ok = (phase - d == src_phase).astype(jnp.int32)
-        term = _roll(v, d) * ok
-        acc = term if acc is None else acc + term
-    return acc
+    """Every lane gets its block's lane at phase src_phase.
+
+    Mask the source lane, then butterfly-sum: the sum of one nonzero
+    value per group IS its broadcast.
+    """
+    masked = v * (phase == src_phase).astype(jnp.int32)
+    return _block_sum(masked, phase, n)
 
 
 def _kernel(scal_ref, slab_ref, above_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
