@@ -70,27 +70,37 @@ def decide_modes(
         mode = jnp.where(dc_wins, DC_MODE, PLANAR_MODE).astype(jnp.int32)
         return pred, mode
 
-    # 35-mode search: seed with planar (mode 0), fold in DC then the
-    # angular sweep.  Each angular mode is one gather-free MXU matmul
-    # (ops.angular_predict_mm — TPU gathers serialize and ran 600x
-    # slower); the best prediction rides along in the running minimum,
-    # so memory stays O(nb * N^2) and no re-prediction pass is needed.
-    from nanohevc_tpu.ops.intra import angular_predict_mm
+    # 35-mode search, fully batched: all 33 angular predictions come
+    # from ONE MXU einsum against the stacked per-mode weight matrices
+    # (gathers ran 600x slower; per-mode matmuls left ~12 ms of fusion
+    # -boundary overhead), costs are evaluated with a mode axis, and
+    # the winner is applied by a one-hot matmul — no gathers anywhere.
+    from nanohevc_tpu.ops.angular_tables import angular_weight_matrices
 
-    best_cost = cost_pl
-    best_mode = jnp.zeros_like(cost_pl, dtype=jnp.int32)
-    best_pred = pl
-    take = cost_dc < best_cost
-    best_cost = jnp.where(take, cost_dc, best_cost)
-    best_mode = jnp.where(take, DC_MODE, best_mode)
-    best_pred = jnp.where(take[:, None, None], dc, best_pred)
-    for m in range(2, 35):
-        pred_m = angular_predict_mm(refs, n, m)
-        cost_m = _cost(blocks, pred_m, decision)
-        take = cost_m < best_cost
-        best_cost = jnp.where(take, cost_m, best_cost)
-        best_mode = jnp.where(take, m, best_mode)
-        best_pred = jnp.where(take[:, None, None], pred_m, best_pred)
+    nb = refs.shape[0]
+    w_all = jnp.asarray(
+        angular_weight_matrices(n).transpose(1, 0, 2).reshape(4 * n + 2, -1)
+    )                                                    # (R, 33*N*N)
+    preds_flat = (
+        jnp.einsum("br,rq->bq", refs, w_all, preferred_element_type=jnp.int32)
+        + 16
+    ) >> 5                                               # (nb, 33*N*N)
+    preds = preds_flat.reshape(nb, 33, n, n)
+    costs_ang = _cost(blocks[:, None], preds, decision)  # (nb, 33)
+
+    costs = jnp.concatenate(
+        [cost_pl[:, None], cost_dc[:, None], costs_ang], axis=1
+    )                                                    # (nb, 35); idx = mode
+    best_mode = jnp.argmin(costs, axis=1).astype(jnp.int32)  # ties -> lowest
+    onehot = jax.nn.one_hot(best_mode - 2, 33, dtype=jnp.int32)
+    best_ang = jnp.einsum(
+        "bm,bmq->bq", onehot, preds.reshape(nb, 33, n * n),
+        preferred_element_type=jnp.int32,
+    ).reshape(nb, n, n)
+    sel = best_mode[:, None, None]
+    best_pred = jnp.where(
+        sel == PLANAR_MODE, pl, jnp.where(sel == DC_MODE, dc, best_ang)
+    )
     return best_pred, best_mode
 
 

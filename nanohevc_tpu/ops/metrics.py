@@ -26,7 +26,8 @@ def psnr(original: jnp.ndarray, reconstructed: jnp.ndarray, peak: int = 255) -> 
 
 
 def sad_blocks(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Sum of absolute differences per block: (nb, N, N) x2 -> (nb,)."""
+    """Sum of absolute differences per block over the last two axes
+    (broadcasts, e.g. (nb, 1, N, N) vs (nb, M, N, N) -> (nb, M))."""
     d = a.astype(jnp.int32) - b.astype(jnp.int32)
     return jnp.abs(d).sum(axis=(-2, -1))
 
@@ -43,8 +44,8 @@ def satd_blocks(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     n = a.shape[-1]
     h = jnp.asarray(hadamard_matrix(n), dtype=jnp.int32)
     d = a.astype(jnp.int32) - b.astype(jnp.int32)
-    t = jnp.einsum("ik,bkj->bij", h, d, preferred_element_type=jnp.int32)
-    t = jnp.einsum("bik,jk->bij", t, h, preferred_element_type=jnp.int32)
+    t = jnp.einsum("ik,...kj->...ij", h, d, preferred_element_type=jnp.int32)
+    t = jnp.einsum("...ik,jk->...ij", t, h, preferred_element_type=jnp.int32)
     return jnp.abs(t).sum(axis=(-2, -1))
 
 
