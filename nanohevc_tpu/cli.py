@@ -135,6 +135,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             qp=args.qp,
             mode_set="all" if args.mode_search else "dc_planar",
             decision="satd" if args.mode_search else "energy",
+            rdo_cbf=args.rdo,
         )
         recon, info = encode_frame_full(frame, config)
         if args.output:
@@ -244,6 +245,11 @@ def main(argv: list[str] | None = None) -> None:
         "--mode-search",
         action="store_true",
         help="search all 35 intra modes (SATD) instead of DC/planar energy",
+    )
+    enc.add_argument(
+        "--rdo",
+        action="store_true",
+        help="RD-optimized coded-block-flag decision (full pipeline)",
     )
     enc.add_argument(
         "--bitstream",

@@ -30,6 +30,7 @@ class EncoderConfig:
     mode_set: str = "dc_planar"
     decision: str = "energy"
     scan: str = "diag"
+    rdo_cbf: bool = False   # RD-optimized coded-block-flag decision
 
     def __post_init__(self):
         if self.block_size not in (4, 8, 16, 32):

@@ -139,8 +139,16 @@ def encode_plane_full(
     is_intra: bool = True,
     bit_depth: int = 8,
     scan: str = "diag",
+    rdo_cbf: bool = False,
 ):
     """Full front-half encode of one plane.
+
+    rdo_cbf enables a rate-distortion coded-block decision: a block's
+    residual is dropped (all levels zeroed, recon = clipped prediction)
+    when coding it is not worth its rate, i.e. when
+    SSE(skip) <= SSE(coded) + lambda(QP) * estimated_bits with the
+    HEVC-style lambda = 0.57 * 2^((QP-12)/3).  Off by default
+    (reference parity).
 
     Returns dict of device arrays:
       recon  (H, W)   reconstructed plane (dropped edges copy the source,
@@ -157,10 +165,21 @@ def encode_plane_full(
     res = blocks - pred
     coeff = ops.forward_transform(res, use_dst)
     levels = ops.quantize(coeff, qp, n, is_intra)
-    packed = ops.scan_pack(levels, scan)
     deq = ops.dequantize(levels, qp, n)
     rec_res = ops.inverse_transform(deq, use_dst)
     recon_blocks = _clip(pred + rec_res, bit_depth)
+
+    if rdo_cbf:
+        pred_clip = _clip(pred, bit_depth)
+        d_coded = ops.residual_energy_blocks(blocks - recon_blocks)
+        d_skip = ops.residual_energy_blocks(blocks - pred_clip)
+        rate = ops.estimate_bits_blocks(levels)
+        lam = 0.57 * jnp.exp2((jnp.asarray(qp, jnp.float32) - 12.0) / 3.0)
+        skip = d_skip.astype(jnp.float32) <= d_coded.astype(jnp.float32) + lam * rate
+        levels = jnp.where(skip[:, None, None], 0, levels)
+        recon_blocks = jnp.where(skip[:, None, None], pred_clip, recon_blocks)
+
+    packed = ops.scan_pack(levels, scan)
     recon = ops.untile_plane(recon_blocks, h, w)
     nby, nbx = h // n, w // n
     if nby * n != h or nbx * n != w:
@@ -234,7 +253,8 @@ def _jit_parity(n: int, bit_depth: int):
 
 @lru_cache(maxsize=None)
 def _jit_full(n: int, mode_set: str, decision: str, use_dst: bool,
-              is_intra: bool, bit_depth: int, scan: str):
+              is_intra: bool, bit_depth: int, scan: str,
+              rdo_cbf: bool = False):
     return jax.jit(
         partial(
             encode_plane_full,
@@ -245,6 +265,7 @@ def _jit_full(n: int, mode_set: str, decision: str, use_dst: bool,
             is_intra=is_intra,
             bit_depth=bit_depth,
             scan=scan,
+            rdo_cbf=rdo_cbf,
         )
     )
 
@@ -307,6 +328,7 @@ def encode_frame_full(frame: Frame, config: EncoderConfig) -> Tuple[Frame, dict]
             config.is_intra,
             config.bit_depth,
             config.scan,
+            config.rdo_cbf,
         )
         out = fn(jnp.asarray(src.data), jnp.int32(config.qp))
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)
