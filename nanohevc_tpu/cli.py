@@ -175,6 +175,7 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
         qp=args.qp,
         mode_set="all" if args.mode_search else "dc_planar",
         decision="satd" if args.mode_search else "energy",
+        rdo_cbf=args.rdo,
     )
     res = encode_sequence(
         args.input,
@@ -270,6 +271,8 @@ def main(argv: list[str] | None = None) -> None:
     seq.add_argument("--batch", type=int, default=8, help="Frames per device batch")
     seq.add_argument("--bitstream", required=True, help="Output bitstream path")
     seq.add_argument("--mode-search", action="store_true")
+    seq.add_argument("--rdo", action="store_true",
+                     help="RD-optimized coded-block-flag decision")
     seq.add_argument(
         "--no-resume", action="store_true",
         help="ignore existing progress sidecar and start over",

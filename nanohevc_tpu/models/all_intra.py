@@ -160,7 +160,8 @@ def encode_plane_full(
     h, w = plane.shape
     src = plane.astype(jnp.int32)
     blocks = ops.tile_plane(src, n)
-    refs = ops.extract_refs(src, n)
+    # HEVC boundary fill is 1 << (bit_depth - 1); 128 at 8-bit (parity)
+    refs = ops.extract_refs(src, n, boundary=1 << (bit_depth - 1))
     pred, modes = decide_modes(blocks, refs, n, mode_set, decision)
     res = blocks - pred
     coeff = ops.forward_transform(res, use_dst)
@@ -241,6 +242,7 @@ def supports_fast_path(config, n: int, width: int, is_luma: bool = True) -> bool
         config.mode_set == "dc_planar"
         and config.decision == "energy"
         and config.is_intra
+        and config.bit_depth == 8      # slab kernel fixes the 128 fill
         and not config.use_dst(n, is_luma)
         and slab_supported(n, width)
     )

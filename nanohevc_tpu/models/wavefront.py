@@ -53,9 +53,10 @@ def _diag_tables(nby: int, nbx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return ys, xs, ok
 
 
-def _predict_slots(recon, ys, xs, n, mode_set, decision, blocks_slot):
+def _predict_slots(recon, ys, xs, n, mode_set, decision, blocks_slot,
+                   boundary=128):
     """Refs from recon; mode decision against the source blocks."""
-    refs = extract_refs_at(recon, ys, xs, n)
+    refs = extract_refs_at(recon, ys, xs, n, boundary=boundary)
     from nanohevc_tpu.models.all_intra import decide_modes
 
     return refs, *decide_modes(blocks_slot, refs, n, mode_set, decision)
@@ -116,7 +117,8 @@ def encode_plane_closed_loop(
         bidx = ys * nbx + xs                              # (m,)
         blocks_slot = blocks[jnp.where(ok, bidx, 0)]      # (m, N, N)
         refs, pred, modes = _predict_slots(
-            recon, ys, xs, n, mode_set, decision, blocks_slot
+            recon, ys, xs, n, mode_set, decision, blocks_slot,
+            boundary=1 << (bit_depth - 1),
         )
         levels, rec_blocks = _code_residual(
             blocks_slot, pred, qp, n, use_dst, bit_depth
@@ -248,7 +250,7 @@ def decode_plane(
         ys, xs, ok = tabs
         bidx = ys * nbx + xs
         safe = jnp.where(ok, bidx, 0)
-        refs = extract_refs_at(recon, ys, xs, n)
+        refs = extract_refs_at(recon, ys, xs, n, boundary=1 << (bit_depth - 1))
         from nanohevc_tpu.ops.intra import predict_by_mode_mm
 
         pred = predict_by_mode_mm(refs, n, modes[safe])

@@ -57,7 +57,8 @@ def untile_plane(
 
 
 def extract_refs_at(
-    plane: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, n: int
+    plane: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray, n: int,
+    boundary: int = BOUNDARY_FILL,
 ) -> jnp.ndarray:
     """Neighbor extraction for an arbitrary set of block origins.
 
@@ -75,22 +76,24 @@ def extract_refs_at(
     tcol = jnp.clip(x0 + (i - 1), 0, w - 1)
     trow = jnp.clip(y0 - 1, 0, h - 1)
     top = p[jnp.broadcast_to(trow, tcol.shape), tcol]
-    top = jnp.where(y0 == 0, BOUNDARY_FILL, top)
+    top = jnp.where(y0 == 0, boundary, top)
     top = top.at[:, 0].set(
-        jnp.where((y0[:, 0] == 0) | (x0[:, 0] == 0), BOUNDARY_FILL, top[:, 0])
+        jnp.where((y0[:, 0] == 0) | (x0[:, 0] == 0), boundary, top[:, 0])
     )
 
     lrow = jnp.clip(y0 + (i - 1), 0, h - 1)
     lcol = jnp.clip(x0 - 1, 0, w - 1)
     left = p[lrow, jnp.broadcast_to(lcol, lrow.shape)]
-    left = jnp.where(x0 == 0, BOUNDARY_FILL, left)
+    left = jnp.where(x0 == 0, boundary, left)
     left = left.at[:, 0].set(
-        jnp.where((y0[:, 0] == 0) | (x0[:, 0] == 0), BOUNDARY_FILL, left[:, 0])
+        jnp.where((y0[:, 0] == 0) | (x0[:, 0] == 0), boundary, left[:, 0])
     )
     return jnp.concatenate([top, left], axis=-1)
 
 
-def extract_refs(plane: jnp.ndarray, n: int) -> jnp.ndarray:
+def extract_refs(
+    plane: jnp.ndarray, n: int, boundary: int = BOUNDARY_FILL
+) -> jnp.ndarray:
     """Batched neighbor extraction: (H, W) -> (nb, 4N+2) int32.
 
     Layout per block: positions 0..2N are the top reference with the
@@ -110,18 +113,18 @@ def extract_refs(plane: jnp.ndarray, n: int) -> jnp.ndarray:
     tcol = jnp.clip(x0[:, :, None] + (i - 1)[None, None, :], 0, w - 1)
     trow = jnp.clip(y0[:, :, None] - 1, 0, h - 1)
     top = p[trow, tcol]                                           # (nby, nbx, 2N+1)
-    top = jnp.where(y0[:, :, None] == 0, BOUNDARY_FILL, top)
+    top = jnp.where(y0[:, :, None] == 0, boundary, top)
     top = top.at[:, :, 0].set(
-        jnp.where((y0 == 0) | (x0 == 0), BOUNDARY_FILL, top[:, :, 0])
+        jnp.where((y0 == 0) | (x0 == 0), boundary, top[:, :, 0])
     )
 
     # Left: column x0-1, rows y0-1+i (clamped down).
     lrow = jnp.clip(y0[:, :, None] + (i - 1)[None, None, :], 0, h - 1)
     lcol = jnp.clip(x0[:, :, None] - 1, 0, w - 1)
     left = p[lrow, lcol]
-    left = jnp.where(x0[:, :, None] == 0, BOUNDARY_FILL, left)
+    left = jnp.where(x0[:, :, None] == 0, boundary, left)
     left = left.at[:, :, 0].set(
-        jnp.where((y0 == 0) | (x0 == 0), BOUNDARY_FILL, left[:, :, 0])
+        jnp.where((y0 == 0) | (x0 == 0), boundary, left[:, :, 0])
     )
 
     refs = jnp.concatenate([top, left], axis=-1)                  # (nby, nbx, 4N+2)

@@ -296,3 +296,45 @@ class TestRDOCbf:
         )[1]
         for p in ("Y", "U", "V"):
             assert np.array_equal(a["planes"][p]["levels"], b["planes"][p]["levels"])
+
+
+class TestTenBit:
+    def test_10bit_roundtrip_and_boundary_fill(self):
+        import jax.numpy as jnp
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+
+        rng = np.random.default_rng(50)
+        plane = jnp.asarray(
+            (rng.integers(0, 1024, (32, 32)) // 4 + 384).astype(np.int32)
+        )
+        out = encode_plane_full(plane, jnp.int32(20), n=4, bit_depth=10)
+        recon = np.asarray(out["recon"])
+        assert recon.max() <= 1023 and recon.min() >= 0
+        err = np.abs(recon - np.asarray(plane))
+        assert err.mean() < 40  # 10-bit step is 4x the 8-bit one at eq QP
+
+    def test_10bit_boundary_is_512(self):
+        """Top-left block of a flat 10-bit frame predicts DC=512 from fill."""
+        import jax.numpy as jnp
+        from nanohevc_tpu import ops
+
+        plane = jnp.full((8, 8), 700, jnp.int32)
+        refs = ops.extract_refs(plane, 8, boundary=512)
+        dc = ops.dc_predict(refs, 8)
+        assert int(dc[0, 0, 0]) == 512
+
+    def test_10bit_closed_loop_decode(self):
+        import jax.numpy as jnp
+        from nanohevc_tpu.models.wavefront import (
+            decode_plane,
+            encode_plane_closed_loop,
+        )
+
+        rng = np.random.default_rng(51)
+        plane = jnp.asarray(rng.integers(0, 1024, (16, 24)).astype(np.int32))
+        enc = encode_plane_closed_loop(plane, jnp.int32(20), n=8, bit_depth=10)
+        dec = decode_plane(
+            enc["levels"], enc["modes"], jnp.int32(20), n=8,
+            height=16, width=24, bit_depth=10,
+        )
+        assert np.array_equal(np.asarray(dec), np.asarray(enc["recon"]))
