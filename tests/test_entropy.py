@@ -108,3 +108,36 @@ class TestBitstream:
         back = parse_bitstream(assemble_bitstream(16, 16, 30, planes))
         assert np.array_equal(back["Y"]["levels"], planes["Y"][0])
         assert back["Y"]["modes"] is None
+
+
+class TestRobustness:
+    def test_decode_garbage_bytes_no_crash(self):
+        """Random bytes must decode to SOME levels without crashing."""
+        rng = np.random.default_rng(7)
+        junk = rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
+        out = decode_levels(junk, 10, 64)
+        assert out.shape == (10, 64)
+
+    def test_decode_truncated_stream(self):
+        """Streams cut mid-payload zero-extend instead of crashing."""
+        rng = np.random.default_rng(8)
+        levels = sparse_levels(rng, 20, 64)
+        data = encode_levels(levels)
+        out = decode_levels(data[: len(data) // 2], 20, 64)
+        assert out.shape == (20, 64)
+
+    def test_parse_bitstream_ignores_garbage_nals(self):
+        from nanohevc_tpu.runtime import wrap_nal
+
+        rng = np.random.default_rng(9)
+        planes = {"Y": (sparse_levels(rng, 4, 16), 4)}
+        bs = assemble_bitstream(16, 16, 22, planes)
+        noisy = wrap_nal(63, b"\x01\x02\x03") + bs + wrap_nal(40, b"")
+        back = parse_bitstream(noisy)
+        assert np.array_equal(back["Y"]["levels"], planes["Y"][0])
+
+    def test_empty_payload_roundtrip(self):
+        assert np.array_equal(
+            decode_levels(encode_levels(np.zeros((1, 16), np.int32)), 1, 16),
+            np.zeros((1, 16), np.int32),
+        )
