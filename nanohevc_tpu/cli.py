@@ -187,6 +187,7 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
         batch=args.batch,
         resume=not args.no_resume,
         report_every=args.report_every,
+        closed_loop=args.closed_loop,
     )
     print("\nSequence results:")
     if res.resumed_from:
@@ -203,15 +204,27 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
 
 
 def cmd_decode(args: argparse.Namespace) -> None:
-    from nanohevc_tpu.models.wavefront import decode_frame
-
     with open(args.input, "rb") as f:
         bitstream = f.read()
-    frame = decode_frame(bitstream)
-    with open(args.output, "wb") as f:
-        f.write(frame.to_yuv420p())
-    print(f"Decoded: {args.input} -> {args.output} "
-          f"({frame.width}x{frame.height})")
+
+    # multi-frame sequence streams carry AUD NALs; single frames don't
+    from nanohevc_tpu.models.sequence import NAL_AUD
+    from nanohevc_tpu.runtime.bitstream import _split_nals
+
+    is_sequence = any(t == NAL_AUD for t, _ in _split_nals(bitstream))
+    if is_sequence:
+        from nanohevc_tpu.models.sequence import decode_sequence
+
+        n = decode_sequence(args.input, args.output)
+        print(f"Decoded: {args.input} -> {args.output} ({n} frames)")
+    else:
+        from nanohevc_tpu.models.wavefront import decode_frame
+
+        frame = decode_frame(bitstream)
+        with open(args.output, "wb") as f:
+            f.write(frame.to_yuv420p())
+        print(f"Decoded: {args.input} -> {args.output} "
+              f"({frame.width}x{frame.height})")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -273,6 +286,9 @@ def main(argv: list[str] | None = None) -> None:
     seq.add_argument("--mode-search", action="store_true")
     seq.add_argument("--rdo", action="store_true",
                      help="RD-optimized coded-block-flag decision")
+    seq.add_argument("--closed-loop", action="store_true",
+                     help="reconstruction-fed wavefront encode "
+                          "(stream decodable to pixels)")
     seq.add_argument(
         "--no-resume", action="store_true",
         help="ignore existing progress sidecar and start over",

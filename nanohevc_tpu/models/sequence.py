@@ -82,13 +82,50 @@ def encode_sequence(
     resume: bool = True,
     mesh=None,
     report_every: int = 0,
+    closed_loop: bool = False,
 ) -> SequenceResult:
-    """Encode `num_frames` frames of a YUV420p file to a bitstream."""
+    """Encode `num_frames` frames of a YUV420p file to a bitstream.
+
+    closed_loop=True uses the reconstruction-fed wavefront encoder, so
+    the resulting stream is pixel-exactly decodable (decode_sequence);
+    open loop (default) matches reference semantics and is much faster.
+    """
     import jax.numpy as jnp
 
     from nanohevc_tpu.parallel.sharding import make_batch_encoder
     from nanohevc_tpu.runtime import entropy
     from nanohevc_tpu.runtime.bitstream import assemble_bitstream
+
+    if closed_loop:
+        import jax
+        from functools import partial as _partial
+
+        from nanohevc_tpu.models.wavefront import encode_plane_closed_loop
+        from nanohevc_tpu.ops.metrics import psnr as _psnr
+
+        def make_cl_fn(is_luma):
+            n = config.block_size if is_luma else config.chroma_block_size()
+
+            def one(plane, qp):
+                out = encode_plane_closed_loop(
+                    plane,
+                    qp,
+                    n=n,
+                    mode_set=config.mode_set,
+                    decision=config.decision,
+                    use_dst=config.use_dst(n, is_luma),
+                    bit_depth=config.bit_depth,
+                    scan=config.scan,
+                )
+                out["psnr"] = _psnr(plane, out["recon"])
+                return out
+
+            return jax.jit(jax.vmap(one, in_axes=(0, None)))
+
+        luma_fn = make_cl_fn(True)
+        chroma_fn = make_cl_fn(False)
+    else:
+        luma_fn = chroma_fn = None  # set below
 
     progress_path = bitstream_path + ".progress"
     start, valid_bytes = (0, 0)
@@ -96,8 +133,9 @@ def encode_sequence(
         start, valid_bytes = _load_progress(progress_path, bitstream_path)
     start = min(start, num_frames)
 
-    luma_fn = make_batch_encoder(config, mesh, is_luma=True)
-    chroma_fn = make_batch_encoder(config, mesh, is_luma=False)
+    if luma_fn is None:
+        luma_fn = make_batch_encoder(config, mesh, is_luma=True)
+        chroma_fn = make_batch_encoder(config, mesh, is_luma=False)
     qp = jnp.int32(config.qp)
 
     sw = Stopwatch()
@@ -216,6 +254,54 @@ def _strip_param_sets(frame_bs: bytes) -> bytes:
             continue
         out.append(entropy.wrap_nal(nal_type, payload))
     return b"".join(out)
+
+
+def decode_sequence(bitstream_path: str, output_path: str) -> int:
+    """Pixel-exact decode of a closed-loop sequence bitstream to YUV420p.
+
+    Geometry and QP come from the stream's parameter sets.  Returns the
+    number of frames written.  (Streams produced with closed_loop=False
+    parse but do not decode to the encoder's pixels — open-loop
+    prediction reads source neighbors a decoder does not have.)
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nanohevc_tpu.models.wavefront import decode_plane
+    from nanohevc_tpu.runtime.bitstream import _split_nals, parse_params
+    from nanohevc_tpu.runtime import entropy as E
+
+    with open(bitstream_path, "rb") as f:
+        data = f.read()
+    params: dict = {}
+    for nal_type, payload in _split_nals(data):
+        if nal_type in (E.NAL_SPS, E.NAL_PPS):
+            params.update(parse_params(payload))
+    width, height, qp = params["width"], params["height"], params["qp"]
+
+    frames = decode_sequence_levels(bitstream_path)
+    n_written = 0
+    with open(output_path, "wb") as out:
+        for fr in frames:
+            for name, (h, w) in (
+                ("Y", (height, width)),
+                ("U", (height // 2, width // 2)),
+                ("V", (height // 2, width // 2)),
+            ):
+                sl = fr[name]
+                bs = sl["block_size"]
+                plane = decode_plane(
+                    jnp.asarray(sl["levels"]),
+                    jnp.asarray(sl["modes"]),
+                    jnp.int32(qp),
+                    n=bs,
+                    height=h,
+                    width=w,
+                    use_dst=(name == "Y" and bs == 4),
+                )
+                out.write(np.asarray(plane).astype(np.uint8).tobytes())
+            n_written += 1
+    return n_written
 
 
 def decode_sequence_levels(bitstream_path: str) -> List[Dict[str, dict]]:

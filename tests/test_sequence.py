@@ -87,3 +87,52 @@ class TestSequenceEncode:
         )
         assert res.frames == 2
         assert len(decode_sequence_levels(str(bs))) == 2
+
+
+class TestClosedLoopSequence:
+    def test_encode_decode_sequence_pixel_exact(self, tmp_path):
+        """Closed-loop sequence -> bitstream -> decode == recon frames."""
+        import jax.numpy as jnp
+        from nanohevc_tpu.models.sequence import decode_sequence
+        from nanohevc_tpu.models.wavefront import encode_plane_closed_loop
+
+        src = tmp_path / "seq.yuv"
+        write_sequence(src, 32, 32, 3, seed=9)
+        bs = tmp_path / "seq.bin"
+        cfg = EncoderConfig(block_size=8, qp=24)
+        res = encode_sequence(
+            str(src), 32, 32, 3, cfg, str(bs), batch=2, closed_loop=True
+        )
+        assert res.frames == 3
+
+        out = tmp_path / "dec.yuv"
+        n = decode_sequence(str(bs), str(out))
+        assert n == 3
+
+        # independently recompute each frame's closed-loop recon
+        raw = src.read_bytes()
+        dec = out.read_bytes()
+        fs = 32 * 32 * 3 // 2
+        for f in range(3):
+            ybytes = raw[f * fs : f * fs + 32 * 32]
+            y = np.frombuffer(ybytes, np.uint8).reshape(32, 32).astype(np.int32)
+            enc = encode_plane_closed_loop(jnp.asarray(y), jnp.int32(24), n=8)
+            got_y = np.frombuffer(
+                dec[f * fs : f * fs + 32 * 32], np.uint8
+            ).reshape(32, 32)
+            assert np.array_equal(got_y, np.asarray(enc["recon"]).astype(np.uint8)), f
+
+    def test_cli_sequence_decode(self, tmp_path, capsys):
+        from nanohevc_tpu.cli import main
+
+        src = tmp_path / "seq.yuv"
+        write_sequence(src, 32, 32, 2, seed=10)
+        bs = tmp_path / "seq.bin"
+        main(["encode-seq", str(src), "--width", "32", "--height", "32",
+              "--frames", "2", "--qp", "28", "--batch", "2",
+              "--closed-loop", "--bitstream", str(bs)])
+        out = tmp_path / "dec.yuv"
+        main(["decode", str(bs), "-o", str(out)])
+        text = capsys.readouterr().out
+        assert "2 frames" in text
+        assert out.stat().st_size == 2 * 32 * 32 * 3 // 2
