@@ -82,11 +82,15 @@ def decide_modes(
         angular_weight_matrices(n).transpose(1, 0, 2).reshape(4 * n + 2, -1)
     )                                                    # (R, 33*N*N)
     preds_flat = (
-        jnp.einsum("br,rq->bq", refs, w_all, preferred_element_type=jnp.int32)
-        + 16
-    ) >> 5                                               # (nb, 33*N*N)
+        (
+            jnp.einsum("br,rq->bq", refs, w_all,
+                       preferred_element_type=jnp.int32)
+            + 16
+        )
+        >> 5
+    ).astype(jnp.int16)   # predictions fit int16; halves the HBM tensor
     preds = preds_flat.reshape(nb, 33, n, n)
-    costs_ang = _cost(blocks[:, None], preds, decision)  # (nb, 33)
+    costs_ang = _cost(blocks[:, None], preds.astype(jnp.int32), decision)
 
     costs = jnp.concatenate(
         [cost_pl[:, None], cost_dc[:, None], costs_ang], axis=1
