@@ -56,7 +56,7 @@ def check_bit_exact(plane, host_plane) -> float:
     import jax.numpy as jnp
 
     from nanohevc_tpu import ref as oracle
-    from nanohevc_tpu.ops import scan_unpack, tile_plane
+    from nanohevc_tpu.ops import tile_plane
 
     from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
 

@@ -98,7 +98,6 @@ def encode_sequence(
 
     if closed_loop:
         import jax
-        from functools import partial as _partial
 
         from nanohevc_tpu.models.wavefront import encode_plane_closed_loop
         from nanohevc_tpu.ops.metrics import psnr as _psnr
