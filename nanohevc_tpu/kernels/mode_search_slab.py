@@ -1,0 +1,323 @@
+"""35-mode SATD search fused into a slab Pallas kernel.
+
+The XLA mode search (models/all_intra.decide_modes, mode_set="all") is
+HBM-bound: the (nb, 33, N, N) prediction/SATD intermediates cost
+~16 ms per 1080p frame (docs/performance.md).  This kernel keeps the
+entire search in VMEM, slab-layout, using the lane-algebra playbook of
+slab_pipeline.py plus three mode-search-specific tricks:
+
+- **vertical angular modes**: the lane phase cancels out of the
+  projection — pred[i, c] = lerp(above[c + int_i], above[c + int_i + 1])
+  — so all nine positive-vertical modes share one small cache of
+  right-edge-clamped lane rolls of the `above` row;
+- **horizontal angular modes**: per phase p the reference row index
+  int_p is static, so predictions are row-slices of the stacked
+  left-column matrix L = [LC | LX(next slab) | pad], masked per phase;
+- **negative modes**: the INV_ANGLE extension values are per-block
+  lane rows (corner / LC rows, pre-spread), selected by static phase
+  masks; the ref[0]->ref[1] straddle uses one static per-phase roll;
+- **SATD**: the Walsh-Hadamard transform is an XOR-butterfly —
+  log2(N) stages of two lane-rolls (columns) / row regroupings (rows)
+  — identical values to the Sylvester-matrix SATD the XLA path uses.
+
+Decision semantics match decide_modes(..., "all", "satd") exactly:
+costs over modes [planar, DC, 2..34], ties to the lowest mode index.
+Scope: N in {8, 16, 32}, 8-bit.  Bit-exactness vs the XLA path is
+asserted in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nanohevc_tpu.tables import INTRA_PRED_ANGLE, INV_ANGLE, transform_matrix
+from nanohevc_tpu.kernels.slab_pipeline import (
+    BOUNDARY,
+    _block_sum,
+    _col_weights,
+    _interpret_default,
+    _qp_scalars,
+    _roll,
+    _spread_phase,
+    _transform_quant_recon,
+)
+
+
+def _left_col(mat: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(n, W): every lane gets mat[i, blk(c)*N - 1] (prev block's last col)."""
+    acc = None
+    for dph in range(n):
+        ok = (phase == dph).astype(jnp.int32)
+        term = _roll(mat, dph + 1) * ok
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _wht_rows(d: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Sylvester WHT along the row (sublane) axis via butterflies."""
+    k = 1
+    while k < n:
+        rows = []
+        for i in range(n):
+            if i & k:
+                rows.append(d[i - k : i - k + 1, :] - d[i : i + 1, :])
+            else:
+                rows.append(d[i : i + 1, :] + d[i + k : i + k + 1, :])
+        d = jnp.concatenate(rows, axis=0)
+        k *= 2
+    return d
+
+
+def _wht_lanes(d: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Sylvester WHT within each aligned n-lane block via XOR butterflies."""
+    k = 1
+    while k < n:
+        bit = (phase & k) != 0
+        partner = jnp.where(bit, _roll(d, k), _roll(d, -k))
+        d = jnp.where(bit, partner - d, d + partner)
+        k *= 2
+    return d
+
+
+def _satd(diff: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(n, W) residual -> (1, W) per-block SATD (Sylvester, both axes)."""
+    t = _wht_lanes(_wht_rows(diff, n), phase, n)
+    return _block_sum(jnp.abs(t).sum(axis=0, keepdims=True), phase, n)
+
+
+def _kernel(scal_ref, slab_ref, above_ref, next_ref, t_ref, tt_ref,
+            wfwd_ref, winv_ref, recon_ref, levels_ref, modes_ref, n: int):
+    by = pl.program_id(0)
+    nslabs = pl.num_programs(0)
+    w = slab_ref.shape[1]
+    x = slab_ref[:, :]
+    above = jnp.where(by == 0, BOUNDARY, above_ref[n - 1 : n, :])   # (1, W)
+
+    phase = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) % n
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    first_block = col < n
+
+    # ---- Reference machinery --------------------------------------------
+    # LC: left column of each block from this slab; LX: the next n rows
+    # (from the following slab; clamped to this slab's last row at the
+    # bottom edge, matching extract_refs' row clamping).
+    lc = jnp.where(first_block, BOUNDARY, _left_col(x, phase, n))   # (n, W)
+    nxt_rows = jnp.where(
+        by == nslabs - 1,
+        jnp.broadcast_to(x[n - 1 : n, :], (n, w)),
+        next_ref[:, :],
+    )
+    lx = jnp.where(first_block, BOUNDARY, _left_col(nxt_rows, phase, n))
+    # L: stacked left reference rows 0..2n-1 plus a pad row (sliced with
+    # zero lerp weight only).
+    l_stack = jnp.concatenate([lc, lx, lx[n - 1 : n, :]], axis=0)   # (2n+1, W)
+
+    corner = _spread_phase(_roll(above, 1), 0, phase, n)            # (1, W)
+    corner = jnp.where(first_block, BOUNDARY, corner)
+    corner = jnp.where(by == 0, BOUNDARY, corner)
+
+    last_val = above[:, w - 1 : w]                                  # (1, 1)
+
+    # topshift[s] = above[c + s] with right-edge clamp (last-sample pad),
+    # for s in 0..n+1; negshift[s] = above[c - s] for s in 1..n.
+    topshift = {}
+    for s in range(0, n + 2):
+        r = _roll(above, -s)
+        topshift[s] = jnp.where(col > w - 1 - s, last_val, r) if s else above
+    negshift = {0: above}
+    for s in range(1, n + 1):
+        negshift[s] = _roll(above, s)
+
+    def top_at(idx: int) -> jnp.ndarray:
+        """above[c + idx], idx in [-n, n+1]."""
+        return topshift[idx] if idx >= 0 else negshift[-idx]
+
+    # Extension values for negative VERTICAL modes: ref[j], j in [-n, 0].
+    # ref[0] = corner; ref[j<0] = left_arr[proj_j] (corner or LC row).
+    def vert_ext(j: int, inv: int) -> jnp.ndarray:
+        if j == 0:
+            return corner
+        proj = ((j + 1) * inv + 128) >> 8
+        return corner if proj == 0 else lc[proj - 1 : proj, :]
+
+    # ---- Mode sweep -------------------------------------------------------
+    # Baselines: planar (mode 0) and DC (mode 1), SATD costs.
+    total = _block_sum(above, phase, n) + lc.sum(axis=0, keepdims=True)
+    dc_pred = jnp.broadcast_to((total + n) // (2 * n), (n, w))
+
+    tr = _spread_phase(above, n - 1, phase, n)
+    bl = _spread_phase(lc[n - 1 : n, :], n - 1, phase, n)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    h = (n - 1 - phase) * lc + (phase + 1) * tr
+    v = (n - 1 - rows_i) * above + (rows_i + 1) * bl
+    pl_pred = (h + v + n) >> n.bit_length()
+
+    best_pred = pl_pred
+    best_cost = _satd(x - pl_pred, phase, n)
+    best_mode = jnp.zeros((1, w), jnp.int32)            # planar = 0
+
+    def consider(pred, mode_idx, best):
+        bp, bc, bm = best
+        cost = _satd(x - pred, phase, n)
+        take = cost < bc
+        return (
+            jnp.where(take, pred + jnp.zeros_like(x), bp),
+            jnp.where(take, cost, bc),
+            jnp.where(take, mode_idx, bm),
+        )
+
+    best = consider(dc_pred, 1, (best_pred, best_cost, best_mode))
+
+    for mode in range(2, 35):
+        angle = INTRA_PRED_ANGLE[mode - 2]
+        vertical = mode >= 18
+        rows = []
+        if vertical:
+            for i in range(n):
+                proj = (i + 1) * angle
+                ip, f = proj >> 5, proj & 31
+                if angle >= 0:
+                    a_side = top_at(ip)
+                    b_side = top_at(ip + 1)
+                    rows.append(((32 - f) * a_side + f * b_side + 16) >> 5)
+                else:
+                    # top region: lanes with p >= -ip (ri >= 1)
+                    base = ((32 - f) * top_at(ip) + f * top_at(ip + 1) + 16) >> 5
+                    row = base
+                    inv = INV_ANGLE[angle]
+                    for p in range(0, min(-ip, n)):
+                        ri = p + 1 + ip            # <= 0 here
+                        ea = vert_ext(ri, inv)
+                        eb = (
+                            vert_ext(ri + 1, inv)
+                            if ri + 1 <= 0
+                            else negshift[p]       # ref[1] = above[c - p]
+                        )
+                        val = ((32 - f) * ea + f * eb + 16) >> 5
+                        row = jnp.where(phase == p, val, row)
+                    rows.append(row)
+            pred = jnp.concatenate(rows, axis=0)
+        else:
+            pred = jnp.zeros_like(x)
+            inv = INV_ANGLE.get(angle, 0)
+            for p in range(n):
+                proj = (p + 1) * angle
+                ip, f = proj >> 5, proj & 31
+                if ip >= 0:
+                    a_side = l_stack[ip : ip + n, :]
+                    b_side = l_stack[ip + 1 : ip + 1 + n, :]
+                    pred_p = ((32 - f) * a_side + f * b_side + 16) >> 5
+                else:
+                    # rows i >= -ip come from L; earlier rows from the
+                    # TOP extension (per-phase static rolls of above)
+                    def horiz_ext(j: int) -> jnp.ndarray:
+                        if j == 0:
+                            return corner
+                        prj = ((j + 1) * inv + 128) >> 8
+                        if prj == 0:
+                            return corner
+                        # top[prj] = above[c - p + prj - 1]
+                        return top_at(prj - 1 - p) if prj - 1 - p >= 0 else \
+                            negshift[p + 1 - prj]
+                    row_list = []
+                    for i in range(n):
+                        ri = i + 1 + ip
+                        if ri >= 1:
+                            a_side = l_stack[ri - 1 : ri, :]
+                            b_side = l_stack[ri : ri + 1, :]
+                        else:
+                            a_side = horiz_ext(ri)
+                            b_side = (
+                                horiz_ext(ri + 1) if ri + 1 <= 0
+                                else l_stack[0:1, :]
+                            )
+                        row_list.append(((32 - f) * a_side + f * b_side + 16) >> 5)
+                    pred_p = jnp.concatenate(row_list, axis=0)
+                pred = jnp.where(phase == p, pred_p, pred)
+        best = consider(pred, mode, best)
+
+    best_pred, best_cost, best_mode = best
+
+    level, recon = _transform_quant_recon(
+        scal_ref, x, best_pred, t_ref, tt_ref, wfwd_ref, winv_ref, n
+    )
+    levels_ref[:, :] = level
+    recon_ref[:, :] = recon
+    modes_ref[:, :] = jnp.broadcast_to(best_mode, (n, w))
+
+
+@lru_cache(maxsize=None)
+def _build(n: int, height: int, width: int, interpret: bool):
+    t_host = np.asarray(transform_matrix(n, use_dst=False), dtype=np.int32)
+    nslabs = height // n
+    wfwd = _col_weights(t_host, width, n)
+    winv = _col_weights(t_host.T, width, n)
+
+    slab_spec = pl.BlockSpec((n, width), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        partial(_kernel, n=n),
+        grid=(nslabs,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            slab_spec,
+            pl.BlockSpec((n, width), lambda i: (jnp.maximum(i - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, width),
+                         lambda i: (jnp.minimum(i + 1, nslabs - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n - 1, width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n - 1, width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(slab_spec, slab_spec, slab_spec),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nslabs * n, width), jnp.int32)
+            for _ in range(3)
+        ),
+        interpret=interpret,
+    )
+
+    def run(scalars, plane):
+        return call(
+            scalars, plane, plane, plane,
+            jnp.asarray(t_host),
+            jnp.asarray(np.ascontiguousarray(t_host.T)),
+            jnp.asarray(wfwd), jnp.asarray(winv),
+        )
+
+    return run
+
+
+def mode_search_encode_plane(plane: jnp.ndarray, qp: int, n: int,
+                             *, bit_depth: int = 8,
+                             interpret: bool | None = None):
+    """Fused 35-mode SATD search + full pipeline for one plane.
+
+    (H, W) -> dict(recon (H, W), levels_slab, modes_slab); decision
+    semantics identical to decide_modes(mode_set="all", decision="satd").
+    qp static.  N in {8, 16, 32}, W % N == 0, 8-bit.
+    """
+    h, w = plane.shape
+    if w % n or n % 8 or n not in (8, 16, 32):
+        raise ValueError(f"mode-search kernel: need N in (8,16,32), W%N==0")
+    if bit_depth != 8:
+        raise ValueError("mode-search kernel is 8-bit only")
+    if interpret is None:
+        interpret = _interpret_default()
+    nby = h // n
+    src = plane.astype(jnp.int32)
+    run = _build(n, nby * n, w, interpret)
+    recon, levels, modes = run(_qp_scalars(qp, n, bit_depth), src[: nby * n])
+    if nby * n != h:
+        recon = jnp.concatenate([recon, src[nby * n :, :]], axis=0)
+    return {"recon": recon, "levels_slab": levels, "modes_slab": modes}

@@ -190,9 +190,16 @@ def _encode_block_row(scal_ref, x, above, t_ref, tt_ref, wfwd_ref, winv_ref,
     e_pl = _block_sum((rp * rp).sum(axis=0, keepdims=True), phase, n)
     use_dc = e_dc <= e_pl                                        # (1, W)
     pred = jnp.where(use_dc, dc_pred + jnp.zeros_like(x), pl_pred)
-    res = x - pred
+    level, recon = _transform_quant_recon(
+        scal_ref, x, pred, t_ref, tt_ref, wfwd_ref, winv_ref, n
+    )
+    return level, recon, use_dc
 
-    # --- Transform -> quant -> dequant -> inverse ------------------------
+
+def _transform_quant_recon(scal_ref, x, pred, t_ref, tt_ref, wfwd_ref,
+                           winv_ref, n: int):
+    """Shared pipeline tail: residual -> DCT -> Q -> IQ -> IDCT -> recon."""
+    res = x - pred
     tshift = n.bit_length() - 1 + 5
     rnd = 1 << (tshift - 1)
     temp = (_row_pass(res, t_ref, n) + rnd) >> tshift
@@ -217,7 +224,7 @@ def _encode_block_row(scal_ref, x, above, t_ref, tt_ref, wfwd_ref, winv_ref,
     rec_res = (_col_pass(ti, winv_ref, n) + rnd) >> tshift
 
     recon = jnp.clip(pred + rec_res, 0, scal_ref[0, 5])
-    return level, recon, use_dc
+    return level, recon
 
 
 def _col_weights(t: np.ndarray, width: int, n: int) -> np.ndarray:

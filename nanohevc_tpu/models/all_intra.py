@@ -233,6 +233,47 @@ def encode_plane_fast(
     }
 
 
+def encode_plane_fast_modes(
+    plane: jnp.ndarray,
+    qp: int,
+    *,
+    n: int,
+    bit_depth: int = 8,
+    scan: str = "diag",
+):
+    """Fused 35-mode-search fast path, same outputs as encode_plane_full.
+
+    Covers mode_set="all"/decision="satd" for N in {8, 16, 32} at 8-bit
+    (3.9x the XLA search on TPU); qp must be a static Python int.
+    """
+    from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+
+    out = mode_search_encode_plane(plane, qp, n, bit_depth=bit_depth)
+    levels_blocks = ops.tile_plane(out["levels_slab"], n)
+    packed = ops.scan_pack(levels_blocks, scan)
+    modes = out["modes_slab"][::n, ::n].reshape(-1).astype(jnp.int32)
+    return {
+        "recon": out["recon"],
+        "levels": packed,
+        "modes": modes,
+        "nnz": (packed != 0).sum(axis=1),
+    }
+
+
+def supports_mode_search_fast_path(config, n: int, width: int,
+                                   is_luma: bool = True) -> bool:
+    """True when encode_plane_fast_modes covers this combo."""
+    return (
+        config.mode_set == "all"
+        and config.decision == "satd"
+        and config.is_intra
+        and config.bit_depth == 8
+        and not config.use_dst(n, is_luma)
+        and n in (8, 16, 32)
+        and width % n == 0
+    )
+
+
 def supports_fast_path(config, n: int, width: int, is_luma: bool = True) -> bool:
     """True when encode_plane_fast covers this (config, plane) combo.
 

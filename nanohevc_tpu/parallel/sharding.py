@@ -35,7 +35,12 @@ def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
     under a sharded mesh (the SPMD partitioner cannot split the
     Pallas custom call).
     """
-    from nanohevc_tpu.models.all_intra import encode_plane_fast, supports_fast_path
+    from nanohevc_tpu.models.all_intra import (
+        encode_plane_fast,
+        encode_plane_fast_modes,
+        supports_fast_path,
+        supports_mode_search_fast_path,
+    )
 
     n = config.block_size if is_luma else config.chroma_block_size()
     width = planes.shape[-1]
@@ -43,6 +48,12 @@ def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
     if allow_fast and supports_fast_path(config, n, width, is_luma):
         def one(plane):
             return encode_plane_fast(
+                plane, config.qp, n=n, bit_depth=config.bit_depth,
+                scan=config.scan,
+            )
+    elif allow_fast and supports_mode_search_fast_path(config, n, width, is_luma):
+        def one(plane):
+            return encode_plane_fast_modes(
                 plane, config.qp, n=n, bit_depth=config.bit_depth,
                 scan=config.scan,
             )

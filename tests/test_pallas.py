@@ -176,3 +176,82 @@ class TestFastPath:
             want = encode_plane_full(frames[f], jnp.int32(30), n=8)
             assert np.array_equal(np.asarray(out["recon"][f]), np.asarray(want["recon"]))
             assert np.array_equal(np.asarray(out["levels"][f]), np.asarray(want["levels"]))
+
+
+class TestModeSearchKernel:
+    @pytest.mark.parametrize("n", [8, 16])
+    @pytest.mark.parametrize("qp", [12, 30])
+    def test_matches_xla_mode_search(self, n, qp):
+        """Fused 35-mode SATD kernel == decide_modes('all', 'satd') path."""
+        from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+        from nanohevc_tpu.kernels.slab_pipeline import levels_plane_to_blocks
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+
+        rng = np.random.default_rng(n + qp)
+        plane = jnp.asarray(rng.integers(0, 256, (3 * n, 5 * n)).astype(np.int32))
+        out = mode_search_encode_plane(plane, qp, n, interpret=True)
+        ref = encode_plane_full(
+            plane, jnp.int32(qp), n=n, mode_set="all", decision="satd"
+        )
+        got_modes = np.asarray(out["modes_slab"])[::n, ::n].reshape(-1)
+        assert np.array_equal(got_modes, np.asarray(ref["modes"]))
+        assert np.array_equal(
+            np.asarray(out["recon"]), np.asarray(ref["recon"])
+        )
+        got_lv = np.asarray(levels_plane_to_blocks(out["levels_slab"], n))
+        assert np.array_equal(got_lv, np.asarray(ops.scan_unpack(ref["levels"])))
+
+    def test_gradient_content_picks_angular(self):
+        """Directional content must select angular modes (sanity)."""
+        from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+
+        n = 8
+        base = np.add.outer(np.zeros(32, int), np.arange(48) * 5) % 256
+        plane = jnp.asarray(base.astype(np.int32))
+        out = mode_search_encode_plane(plane, 20, n, interpret=True)
+        modes = np.asarray(out["modes_slab"])[::n, ::n].reshape(-1)
+        assert (modes >= 2).any()
+
+    def test_partial_rows_and_bottom_clamp(self):
+        from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+
+        n = 8
+        rng = np.random.default_rng(77)
+        plane = jnp.asarray(rng.integers(0, 256, (4 * n + 3, 4 * n)).astype(np.int32))
+        out = mode_search_encode_plane(plane, 24, n, interpret=True)
+        ref = encode_plane_full(
+            plane, jnp.int32(24), n=n, mode_set="all", decision="satd"
+        )
+        assert np.array_equal(np.asarray(out["recon"]), np.asarray(ref["recon"]))
+
+    def test_fast_modes_wrapper_matches_full(self):
+        from nanohevc_tpu.models.all_intra import (
+            encode_plane_fast_modes,
+            encode_plane_full,
+        )
+
+        rng = np.random.default_rng(88)
+        plane = jnp.asarray(rng.integers(0, 256, (32, 64)).astype(np.int32))
+        fast = encode_plane_fast_modes(plane, 26, n=8)
+        full = encode_plane_full(
+            plane, jnp.int32(26), n=8, mode_set="all", decision="satd"
+        )
+        for k in ("recon", "levels", "modes", "nnz"):
+            assert np.array_equal(np.asarray(fast[k]), np.asarray(full[k])), k
+
+    def test_batch_encoder_routes_mode_search(self):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+        from nanohevc_tpu.parallel import make_batch_encoder
+
+        rng = np.random.default_rng(89)
+        frames = jnp.asarray(rng.integers(0, 256, (2, 32, 64)).astype(np.int32))
+        cfg = EncoderConfig(block_size=8, qp=30, mode_set="all", decision="satd")
+        out = make_batch_encoder(cfg)(frames, jnp.int32(30))
+        for f in range(2):
+            want = encode_plane_full(
+                frames[f], jnp.int32(30), n=8, mode_set="all", decision="satd"
+            )
+            assert np.array_equal(np.asarray(out["recon"][f]), np.asarray(want["recon"]))
+            assert np.array_equal(np.asarray(out["modes"][f]), np.asarray(want["modes"]))
