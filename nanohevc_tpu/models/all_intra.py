@@ -317,6 +317,22 @@ def _jit_full(n: int, mode_set: str, decision: str, use_dst: bool,
     )
 
 
+@lru_cache(maxsize=None)
+def _jit_fast(n: int, bit_depth: int, scan: str, qp: int):
+    return jax.jit(
+        lambda p: encode_plane_fast(p, qp, n=n, bit_depth=bit_depth, scan=scan)
+    )
+
+
+@lru_cache(maxsize=None)
+def _jit_fast_modes(n: int, bit_depth: int, scan: str, qp: int):
+    return jax.jit(
+        lambda p: encode_plane_fast_modes(
+            p, qp, n=n, bit_depth=bit_depth, scan=scan
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Frame-level host wrappers
 # ---------------------------------------------------------------------------
@@ -367,17 +383,31 @@ def encode_frame_full(frame: Frame, config: EncoderConfig) -> Tuple[Frame, dict]
     ):
         is_luma = name == "Y"
         bs = config.block_size if is_luma else config.chroma_block_size()
-        fn = _jit_full(
-            bs,
-            config.mode_set,
-            config.decision,
-            config.use_dst(bs, is_luma),
-            config.is_intra,
-            config.bit_depth,
-            config.scan,
-            config.rdo_cbf,
-        )
-        out = fn(jnp.asarray(src.data), jnp.int32(config.qp))
+        width = src.width
+        # route to the fused slab kernels when the config allows
+        # (rdo_cbf needs the XLA path's RD stage)
+        if not config.rdo_cbf and supports_fast_path(config, bs, width, is_luma):
+            out = _jit_fast(bs, config.bit_depth, config.scan, config.qp)(
+                jnp.asarray(src.data)
+            )
+        elif not config.rdo_cbf and supports_mode_search_fast_path(
+            config, bs, width, is_luma
+        ):
+            out = _jit_fast_modes(bs, config.bit_depth, config.scan, config.qp)(
+                jnp.asarray(src.data)
+            )
+        else:
+            fn = _jit_full(
+                bs,
+                config.mode_set,
+                config.decision,
+                config.use_dst(bs, is_luma),
+                config.is_intra,
+                config.bit_depth,
+                config.scan,
+                config.rdo_cbf,
+            )
+            out = fn(jnp.asarray(src.data), jnp.int32(config.qp))
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)
         info["planes"][name] = {
             "levels": np.asarray(out["levels"]),

@@ -338,3 +338,36 @@ class TestTenBit:
             height=16, width=24, bit_depth=10,
         )
         assert np.array_equal(np.asarray(dec), np.asarray(enc["recon"]))
+
+
+class TestFrameFastRouting:
+    @pytest.mark.parametrize("mode_set", ["dc_planar", "all"])
+    def test_frame_encode_routes_identically(self, mode_set):
+        """encode_frame_full output is unchanged by fast-kernel routing
+        (block-aligned frame -> both Y and chroma ride the kernels)."""
+        frame = create_test_frame(64, 64)
+        cfg = EncoderConfig(block_size=8, qp=24, mode_set=mode_set,
+                            decision="satd" if mode_set == "all" else "energy")
+        recon, info = encode_frame_full(frame, cfg)
+        # recompute each plane with the plain XLA path
+        import jax.numpy as jnp
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+
+        for name, src, got in (
+            ("Y", frame.y, recon.y),
+            ("U", frame.u, recon.u),
+            ("V", frame.v, recon.v),
+        ):
+            is_luma = name == "Y"
+            bs = cfg.block_size if is_luma else cfg.chroma_block_size()
+            want = encode_plane_full(
+                jnp.asarray(src.data), jnp.int32(24), n=bs,
+                mode_set=cfg.mode_set, decision=cfg.decision,
+                use_dst=cfg.use_dst(bs, is_luma),
+            )
+            assert np.array_equal(
+                got.data, np.asarray(want["recon"]).astype(np.int16)
+            ), name
+            assert np.array_equal(
+                info["planes"][name]["levels"], np.asarray(want["levels"])
+            ), name
