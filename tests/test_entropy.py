@@ -141,3 +141,33 @@ class TestRobustness:
             decode_levels(encode_levels(np.zeros((1, 16), np.int32)), 1, 16),
             np.zeros((1, 16), np.int32),
         )
+
+
+class TestParamParsing:
+    def test_sps_fields_roundtrip(self):
+        from nanohevc_tpu.runtime.bitstream import parse_params
+
+        sps = parse_params(write_params(1920, 1080, 8, 22, 1))
+        assert sps["width"] == 1920 and sps["height"] == 1080
+        assert sps["block_size"] == 8
+        assert sps["chroma_format_idc"] == 1
+        assert sps["bit_depth_luma_minus8"] == 0
+
+    def test_pps_fields_roundtrip(self):
+        from nanohevc_tpu.runtime.bitstream import parse_params
+
+        for qp in (0, 22, 51):
+            pps = parse_params(write_params(64, 64, 4, qp, 2))
+            assert pps["qp"] == qp and pps["scan_idx"] == 0
+
+    def test_bad_magic_rejected(self):
+        from nanohevc_tpu.runtime.bitstream import parse_params
+
+        with pytest.raises(ValueError):
+            parse_params(b"\xff\xff\x00\x00")
+
+    def test_exp_golomb_extremes(self):
+        from nanohevc_tpu.runtime.bitstream import parse_params
+
+        sps = parse_params(write_params(7680, 4320, 32, 51, 1))
+        assert (sps["width"], sps["height"]) == (7680, 4320)
