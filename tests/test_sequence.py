@@ -136,3 +136,21 @@ class TestClosedLoopSequence:
         text = capsys.readouterr().out
         assert "2 frames" in text
         assert out.stat().st_size == 2 * 32 * 32 * 3 // 2
+
+    def test_closed_loop_resume(self, tmp_path):
+        """Resume continues a closed-loop stream; frames stay decodable."""
+        from nanohevc_tpu.models.sequence import decode_sequence
+
+        src = tmp_path / "seq.yuv"
+        write_sequence(src, 32, 32, 4, seed=11)
+        bs = tmp_path / "seq.bin"
+        cfg = EncoderConfig(block_size=8, qp=26)
+        r1 = encode_sequence(str(src), 32, 32, 2, cfg, str(bs), batch=2,
+                             closed_loop=True)
+        assert r1.frames == 2
+        r2 = encode_sequence(str(src), 32, 32, 4, cfg, str(bs), batch=2,
+                             closed_loop=True)
+        assert r2.resumed_from == 2 and r2.frames == 4
+        out = tmp_path / "dec.yuv"
+        assert decode_sequence(str(bs), str(out)) == 4
+        assert out.stat().st_size == 4 * 32 * 32 * 3 // 2
