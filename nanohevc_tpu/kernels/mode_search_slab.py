@@ -50,13 +50,12 @@ from nanohevc_tpu.kernels.slab_pipeline import (
 
 
 def _left_col(mat: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
-    """(n, W): every lane gets mat[i, blk(c)*N - 1] (prev block's last col)."""
-    acc = None
-    for dph in range(n):
-        ok = (phase == dph).astype(jnp.int32)
-        term = _roll(mat, dph + 1) * ok
-        acc = term if acc is None else acc + term
-    return acc
+    """(n, W): every lane gets mat[i, blk(c)*N - 1] (prev block's last col).
+
+    roll-by-1 parks the value on phase-0 lanes; the masked butterfly
+    block-sum broadcasts it across each block.
+    """
+    return _block_sum(_roll(mat, 1) * (phase == 0).astype(jnp.int32), phase, n)
 
 
 def _wht_rows(d: jnp.ndarray, n: int) -> jnp.ndarray:

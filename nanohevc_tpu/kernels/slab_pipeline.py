@@ -160,11 +160,12 @@ def _encode_block_row(scal_ref, x, above, t_ref, tt_ref, wfwd_ref, winv_ref,
     phase = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) % n
 
     # Left reference column LC[i, c] = x[i, blk(c)*N - 1]; 128 for blk 0.
-    lc = None
-    for dph in range(n):  # source phase n-1 at offset d = phase + 1
-        ok = (phase == dph).astype(jnp.int32)
-        term = _roll(x, dph + 1) * ok
-        lc = term if lc is None else lc + term
+    # roll-by-1 parks the previous block's last column on phase-0 lanes;
+    # the masked butterfly block-sum broadcasts it across each block
+    # (log2 n stages vs n masked rolls).
+    lc = _block_sum(
+        _roll(x, 1) * (phase == 0).astype(jnp.int32), phase, n
+    )
     first_block = (jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) < n)
     lc = jnp.where(first_block, BOUNDARY, lc)                    # (n, W)
 
