@@ -31,6 +31,11 @@ class EncoderConfig:
     decision: str = "energy"
     scan: str = "diag"
     rdo_cbf: bool = False   # RD-optimized coded-block-flag decision
+    # Spec-correct dequant size rescale.  The reference's dequantizer
+    # omits the size-dependent term (its quant.py:110-121), attenuating
+    # coded residuals 2^(log2 N - 2) at N > 4; True restores the
+    # correct gain (better recon quality), False keeps bit parity.
+    dequant_rescale: bool = False
 
     def __post_init__(self):
         if self.block_size not in (4, 8, 16, 32):

@@ -12,7 +12,8 @@ slab_pipeline.py plus three mode-search-specific tricks:
   right-edge-clamped lane rolls of the `above` row;
 - **horizontal angular modes**: per phase p the reference row index
   int_p is static, so predictions are row-slices of the stacked
-  left-column matrix L = [LC | LX(next slab) | pad], masked per phase;
+  left-column matrix L = [LC | LX(rows N..2N-1) | pad], masked per
+  phase;
 - **negative modes**: the INV_ANGLE extension values are per-block
   lane rows (corner / LC rows, pre-spread), selected by static phase
   masks; the ref[0]->ref[1] straddle uses one static per-phase roll;
@@ -20,10 +21,18 @@ slab_pipeline.py plus three mode-search-specific tricks:
   log2(N) stages of two lane-rolls (columns) / row regroupings (rows)
   — identical values to the Sylvester-matrix SATD the XLA path uses.
 
+Slabs are max(N, 8) rows (Mosaic sublane rules), so N == 4 packs two
+block-rows per slab; the caller appends replicated-last-row padding so
+every left-extension row (LX, the left reference's rows N..2N-1, which
+extract_refs clamps to the plane's true last row — ops/tiling.py:126)
+reads the exact clamped value, including planes whose height is not a
+block multiple.
+
 Decision semantics match decide_modes(..., "all", "satd") exactly:
 costs over modes [planar, DC, 2..34], ties to the lowest mode index.
-Scope: N in {8, 16, 32}, 8-bit.  Bit-exactness vs the XLA path is
-asserted in tests/test_pallas.py.
+Scope: N in {4, 8, 16, 32}, any bit depth (boundary fill and clip max
+ride the SMEM scalars).  Bit-exactness vs the XLA path is asserted in
+tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -38,12 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nanohevc_tpu.tables import INTRA_PRED_ANGLE, INV_ANGLE, transform_matrix
 from nanohevc_tpu.kernels.slab_pipeline import (
-    BOUNDARY,
     _block_sum,
     _col_weights,
     _interpret_default,
     _qp_scalars,
     _roll,
+    _slab_rows,
     _spread_phase,
     _transform_quant_recon,
 )
@@ -90,36 +99,35 @@ def _satd(diff: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
     return _block_sum(jnp.abs(t).sum(axis=0, keepdims=True), phase, n)
 
 
-def _kernel(scal_ref, slab_ref, above_ref, next_ref, t_ref, tt_ref,
-            wfwd_ref, winv_ref, recon_ref, levels_ref, modes_ref, n: int):
-    by = pl.program_id(0)
-    nslabs = pl.num_programs(0)
-    w = slab_ref.shape[1]
-    x = slab_ref[:, :]
-    above = jnp.where(by == 0, BOUNDARY, above_ref[n - 1 : n, :])   # (1, W)
+def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
+                      t_ref, tt_ref, wfwd_ref, winv_ref, n: int):
+    """Full 35-mode search + pipeline tail for one (n, W) block-row.
 
+    above: (1, W) row directly above this block-row (already
+        boundary-filled when this is the plane's top row).
+    lx_rows: (n, W) the n source rows directly below this block-row
+        (the caller guarantees these exist via replicated padding).
+    top_edge: scalar bool-ish — whether this block-row is the plane's
+        top row (controls the corner's boundary fill).
+    """
+    w = x.shape[1]
+    boundary = scal_ref[0, 6]
     phase = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) % n
     col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     first_block = col < n
 
     # ---- Reference machinery --------------------------------------------
-    # LC: left column of each block from this slab; LX: the next n rows
-    # (from the following slab; clamped to this slab's last row at the
-    # bottom edge, matching extract_refs' row clamping).
-    lc = jnp.where(first_block, BOUNDARY, _left_col(x, phase, n))   # (n, W)
-    nxt_rows = jnp.where(
-        by == nslabs - 1,
-        jnp.broadcast_to(x[n - 1 : n, :], (n, w)),
-        next_ref[:, :],
-    )
-    lx = jnp.where(first_block, BOUNDARY, _left_col(nxt_rows, phase, n))
+    # LC: left column of each block from this block-row; LX: the left
+    # column of the next n rows (left reference rows N..2N-1).
+    lc = jnp.where(first_block, boundary, _left_col(x, phase, n))   # (n, W)
+    lx = jnp.where(first_block, boundary, _left_col(lx_rows, phase, n))
     # L: stacked left reference rows 0..2n-1 plus a pad row (sliced with
     # zero lerp weight only).
     l_stack = jnp.concatenate([lc, lx, lx[n - 1 : n, :]], axis=0)   # (2n+1, W)
 
     corner = _spread_phase(_roll(above, 1), 0, phase, n)            # (1, W)
-    corner = jnp.where(first_block, BOUNDARY, corner)
-    corner = jnp.where(by == 0, BOUNDARY, corner)
+    corner = jnp.where(first_block, boundary, corner)
+    corner = jnp.where(top_edge, boundary, corner)
 
     last_val = above[:, w - 1 : w]                                  # (1, 1)
 
@@ -246,19 +254,53 @@ def _kernel(scal_ref, slab_ref, above_ref, next_ref, t_ref, tt_ref,
     level, recon = _transform_quant_recon(
         scal_ref, x, best_pred, t_ref, tt_ref, wfwd_ref, winv_ref, n
     )
-    levels_ref[:, :] = level
-    recon_ref[:, :] = recon
-    modes_ref[:, :] = jnp.broadcast_to(best_mode, (n, w))
+    return level, recon, best_mode
+
+
+def _kernel(scal_ref, slab_ref, above_ref, next_ref, t_ref, tt_ref,
+            wfwd_ref, winv_ref, recon_ref, levels_ref, modes_ref, n: int):
+    """One grid step: a slab of max(N, 8) rows (2 block-rows at N == 4).
+
+    The caller pads the plane with replicated-last-row slabs, so the
+    block-row below any real block-row always exists: LX reads within
+    the slab or from next_ref, never off the end.
+    """
+    by = pl.program_id(0)
+    slab_rows = slab_ref.shape[0]
+    boundary = scal_ref[0, 6]
+    for r in range(slab_rows // n):
+        if r == 0:
+            above = jnp.where(
+                by == 0, boundary, above_ref[slab_rows - 1 : slab_rows, :]
+            )
+            top_edge = by == 0
+        else:
+            above = slab_ref[r * n - 1 : r * n, :]
+            top_edge = False
+        if r == slab_rows // n - 1:
+            lx_rows = next_ref[0:n, :]
+        else:
+            lx_rows = slab_ref[(r + 1) * n : (r + 2) * n, :]
+        level, recon, best_mode = _search_block_row(
+            scal_ref, slab_ref[r * n : (r + 1) * n, :], above, lx_rows,
+            top_edge, t_ref, tt_ref, wfwd_ref, winv_ref, n,
+        )
+        sl = slice(r * n, (r + 1) * n)
+        levels_ref[sl, :] = level
+        recon_ref[sl, :] = recon
+        modes_ref[sl, :] = jnp.broadcast_to(best_mode, recon.shape)
 
 
 @lru_cache(maxsize=None)
-def _build(n: int, height: int, width: int, interpret: bool):
-    t_host = np.asarray(transform_matrix(n, use_dst=False), dtype=np.int32)
-    nslabs = height // n
+def _build(n: int, height: int, width: int, interpret: bool,
+           use_dst: bool = False):
+    t_host = np.asarray(transform_matrix(n, use_dst=use_dst), dtype=np.int32)
+    slab_rows = _slab_rows(n)
+    nslabs = height // slab_rows
     wfwd = _col_weights(t_host, width, n)
     winv = _col_weights(t_host.T, width, n)
 
-    slab_spec = pl.BlockSpec((n, width), lambda i: (i, 0),
+    slab_spec = pl.BlockSpec((slab_rows, width), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         partial(_kernel, n=n),
@@ -266,9 +308,13 @@ def _build(n: int, height: int, width: int, interpret: bool):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             slab_spec,
-            pl.BlockSpec((n, width), lambda i: (jnp.maximum(i - 1, 0), 0),
+            pl.BlockSpec((slab_rows, width),
+                         lambda i: (jnp.maximum(i - 1, 0), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, width),
+            # next slab feeds the last block-row's LX; the final slab is
+            # pure padding (outputs discarded), so clamping to itself is
+            # never observed.
+            pl.BlockSpec((slab_rows, width),
                          lambda i: (jnp.minimum(i + 1, nslabs - 1), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -280,7 +326,7 @@ def _build(n: int, height: int, width: int, interpret: bool):
         ],
         out_specs=(slab_spec, slab_spec, slab_spec),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((nslabs * n, width), jnp.int32)
+            jax.ShapeDtypeStruct((nslabs * slab_rows, width), jnp.int32)
             for _ in range(3)
         ),
         interpret=interpret,
@@ -299,24 +345,43 @@ def _build(n: int, height: int, width: int, interpret: bool):
 
 def mode_search_encode_plane(plane: jnp.ndarray, qp: int, n: int,
                              *, bit_depth: int = 8,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             use_dst: bool = False,
+                             dequant_rescale: bool = False):
     """Fused 35-mode SATD search + full pipeline for one plane.
 
     (H, W) -> dict(recon (H, W), levels_slab, modes_slab); decision
     semantics identical to decide_modes(mode_set="all", decision="satd").
-    qp static.  N in {8, 16, 32}, W % N == 0, 8-bit.
+    qp static.  N in {4, 8, 16, 32}, W % N == 0.
     """
     h, w = plane.shape
-    if w % n or n % 8 or n not in (8, 16, 32):
-        raise ValueError(f"mode-search kernel: need N in (8,16,32), W%N==0")
-    if bit_depth != 8:
-        raise ValueError("mode-search kernel is 8-bit only")
+    if w % n or n not in (4, 8, 16, 32):
+        raise ValueError("mode-search kernel: need N in (4,8,16,32), W%N==0")
+    if use_dst and n != 4:
+        raise ValueError("DST-VII is only defined at 4x4")
     if interpret is None:
         interpret = _interpret_default()
     nby = h // n
     src = plane.astype(jnp.int32)
-    run = _build(n, nby * n, w, interpret)
-    recon, levels, modes = run(_qp_scalars(qp, n, bit_depth), src[: nby * n])
-    if nby * n != h:
-        recon = jnp.concatenate([recon, src[nby * n :, :]], axis=0)
+
+    # Pad below with the plane's true last row, replicated, out to at
+    # least one block-row past the coded region and a whole number of
+    # slabs: the left reference's rows N..2N-1 then read EXACTLY what
+    # extract_refs' row clamp produces (clip to h-1), including planes
+    # whose height is not a block multiple.
+    slab_rows = _slab_rows(n)
+    rows_needed = nby * n
+    h_pad = -(-(rows_needed + n) // slab_rows) * slab_rows
+    x = jnp.concatenate(
+        [src, jnp.broadcast_to(src[h - 1 : h, :], (h_pad - h, w))], axis=0
+    )
+    run = _build(n, h_pad, w, interpret, use_dst)
+    recon, levels, modes = run(
+        _qp_scalars(qp, n, bit_depth, dequant_rescale), x
+    )
+    recon, levels, modes = (
+        recon[:rows_needed], levels[:rows_needed], modes[:rows_needed]
+    )
+    if rows_needed != h:
+        recon = jnp.concatenate([recon, src[rows_needed:, :]], axis=0)
     return {"recon": recon, "levels_slab": levels, "modes_slab": modes}

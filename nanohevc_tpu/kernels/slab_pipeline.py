@@ -48,6 +48,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nanohevc_tpu.tables import transform_matrix
 
+# 8-bit neutral fill; kernels read the actual boundary (1 << (bd-1))
+# from the SMEM scalar vector so 10-bit planes ride the same program.
 BOUNDARY = 128
 
 
@@ -125,17 +127,19 @@ def _kernel(scal_ref, slab_ref, above_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
     second one's top reference is a source row inside the same slab —
     open-loop semantics make this dependency-free).
 
-    scal_ref (SMEM, (1, 6)): mf, qshift, qoffset, dscale, qp_per, max_pix
+    scal_ref (SMEM, (1, 7)): mf, qshift, qoffset, dscale, dq_shift,
+        max_pix, boundary
     slab_ref / above_ref: (max(N,8), W) source slabs (above = previous)
     t_ref / tt_ref: (N, N) transform matrix and transpose
     wfwd_ref / winv_ref: (2N-1, W) column-pass weight rows for T / T^T
     """
     by = pl.program_id(0)
     slab_rows = slab_ref.shape[0]
+    boundary = scal_ref[0, 6]
     for r in range(slab_rows // n):
         if r == 0:
             above = jnp.where(
-                by == 0, BOUNDARY, above_ref[slab_rows - 1 : slab_rows, :]
+                by == 0, boundary, above_ref[slab_rows - 1 : slab_rows, :]
             )
         else:
             above = slab_ref[r * n - 1 : r * n, :]
@@ -158,16 +162,17 @@ def _encode_block_row(scal_ref, x, above, t_ref, tt_ref, wfwd_ref, winv_ref,
     use_dc)."""
     w = x.shape[1]
     phase = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) % n
+    boundary = scal_ref[0, 6]
 
-    # Left reference column LC[i, c] = x[i, blk(c)*N - 1]; 128 for blk 0.
-    # roll-by-1 parks the previous block's last column on phase-0 lanes;
-    # the masked butterfly block-sum broadcasts it across each block
-    # (log2 n stages vs n masked rolls).
+    # Left reference column LC[i, c] = x[i, blk(c)*N - 1]; boundary fill
+    # (1 << (bd-1)) for blk 0.  roll-by-1 parks the previous block's
+    # last column on phase-0 lanes; the masked butterfly block-sum
+    # broadcasts it across each block (log2 n stages vs n masked rolls).
     lc = _block_sum(
         _roll(x, 1) * (phase == 0).astype(jnp.int32), phase, n
     )
     first_block = (jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) < n)
-    lc = jnp.where(first_block, BOUNDARY, lc)                    # (n, W)
+    lc = jnp.where(first_block, boundary, lc)                    # (n, W)
 
     # --- DC: floor((sum top + sum left + N) / 2N), per lane -------------
     top_sum = _block_sum(above, phase, n)                        # (1, W)
@@ -213,13 +218,15 @@ def _transform_quant_recon(scal_ref, x, pred, t_ref, tt_ref, wfwd_ref,
         jnp.abs(coeff) * mf + qoffset, qshift
     )
 
+    # dq_shift is signed: 4 - qp_per in parity mode, 6 - log2N - qp_per
+    # with the spec-correct size rescale (see ops/quant.py dequantize).
     dscale = scal_ref[0, 3]
-    qp_per = scal_ref[0, 4]
+    dq_shift = scal_ref[0, 4]
     base = level * dscale
-    sh = jnp.maximum(4 - qp_per, 1)
+    sh = jnp.maximum(dq_shift, 1)
     down = jnp.right_shift(base + jnp.left_shift(1, sh - 1), sh)
-    up = jnp.left_shift(base, jnp.maximum(qp_per - 4, 0))
-    deq = jnp.where(qp_per < 4, down, up)
+    up = jnp.left_shift(base, jnp.maximum(-dq_shift, 0))
+    deq = jnp.where(dq_shift >= 1, down, up)
 
     ti = (_row_pass(deq, tt_ref, n) + rnd) >> tshift
     rec_res = (_col_pass(ti, winv_ref, n) + rnd) >> tshift
@@ -251,8 +258,8 @@ def _slab_rows(n: int) -> int:
 
 @lru_cache(maxsize=None)
 def _build(n: int, height: int, width: int, interpret: bool,
-           with_modes: bool = False):
-    t_host = np.asarray(transform_matrix(n, use_dst=False), dtype=np.int32)
+           with_modes: bool = False, use_dst: bool = False):
+    t_host = np.asarray(transform_matrix(n, use_dst=use_dst), dtype=np.int32)
     slab_rows = _slab_rows(n)
     nslabs = height // slab_rows
     wfwd = _col_weights(t_host, width, n)          # pass 2 of forward: T
@@ -299,17 +306,28 @@ def _build(n: int, height: int, width: int, interpret: bool,
     return run
 
 
-def _qp_scalars(qp: int, n: int, bit_depth: int) -> jnp.ndarray:
+def _qp_scalars(qp: int, n: int, bit_depth: int,
+                dequant_rescale: bool = False) -> jnp.ndarray:
+    """SMEM scalar vector: [mf, qshift, qoffset, dscale, dq_shift,
+    max_pix, boundary].
+
+    dq_shift is the signed dequant shift: 4 - qp_per preserves the
+    reference's size-independent dequant (parity), 6 - log2N - qp_per
+    restores the spec-correct size rescale (negative -> left shift).
+    """
     from nanohevc_tpu.tables import DEQUANT_SCALE, QUANT_SCALE
 
     qp_c = max(0, min(51, int(qp)))
     qp_per, qp_rem = qp_c // 6, qp_c % 6
-    qshift = 14 + qp_per + (n.bit_length() - 1)
+    log2n = n.bit_length() - 1
+    qshift = 14 + qp_per + log2n
+    dq_shift = (6 - log2n if dequant_rescale else 4) - qp_per
     return jnp.asarray(
         [QUANT_SCALE[qp_rem], qshift, (1 << qshift) // 3,
-         DEQUANT_SCALE[qp_rem], qp_per, (1 << bit_depth) - 1],
+         DEQUANT_SCALE[qp_rem], dq_shift, (1 << bit_depth) - 1,
+         1 << (bit_depth - 1)],
         dtype=jnp.int32,
-    ).reshape(1, 6)
+    ).reshape(1, 7)
 
 
 def slab_supported(n: int, width: int) -> bool:
@@ -326,19 +344,23 @@ def _interpret_default() -> bool:
 
 def slab_encode_plane(plane: jnp.ndarray, qp: int, n: int,
                       *, bit_depth: int = 8, interpret: bool | None = None,
-                      with_modes: bool = False):
+                      with_modes: bool = False, use_dst: bool = False,
+                      dequant_rescale: bool = False):
     """(H, W) plane -> dict(recon (H, W), levels_slab (nby*N, W)
     [, modes_slab (nby*N, W)]).
 
     qp is a static Python int.  Trailing rows below the last full
     block-row pass through to `recon` unchanged.  interpret=None auto-
-    selects the Pallas interpreter off-TPU.
+    selects the Pallas interpreter off-TPU.  use_dst selects the
+    DST-VII weight set (N == 4 only, the HEVC 4x4 luma intra rule).
     """
     h, w = plane.shape
     if w % n:
         raise ValueError(f"slab kernel requires W % N == 0, got {w} % {n}")
     if n not in (4, 8, 16, 32):
         raise ValueError(f"unsupported block size: {n}")
+    if use_dst and n != 4:
+        raise ValueError("DST-VII is only defined at 4x4")
     if interpret is None:
         interpret = _interpret_default()
     nby = h // n
@@ -355,8 +377,8 @@ def slab_encode_plane(plane: jnp.ndarray, qp: int, n: int,
         x = jnp.concatenate(
             [src, jnp.zeros((h_pad - h, w), jnp.int32)], axis=0
         )
-    run = _build(n, h_pad, w, interpret, with_modes)
-    outs = run(_qp_scalars(qp, n, bit_depth), x[:h_pad])
+    run = _build(n, h_pad, w, interpret, with_modes, use_dst)
+    outs = run(_qp_scalars(qp, n, bit_depth, dequant_rescale), x[:h_pad])
     recon, levels = outs[0][:rows_needed], outs[1][:rows_needed]
     if rows_needed != h:
         recon = jnp.concatenate([recon, src[rows_needed:, :]], axis=0)

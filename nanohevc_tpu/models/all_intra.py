@@ -144,6 +144,7 @@ def encode_plane_full(
     bit_depth: int = 8,
     scan: str = "diag",
     rdo_cbf: bool = False,
+    dequant_rescale: bool = False,
 ):
     """Full front-half encode of one plane.
 
@@ -170,7 +171,7 @@ def encode_plane_full(
     res = blocks - pred
     coeff = ops.forward_transform(res, use_dst)
     levels = ops.quantize(coeff, qp, n, is_intra)
-    deq = ops.dequantize(levels, qp, n)
+    deq = ops.dequantize(levels, qp, n, rescale=dequant_rescale)
     rec_res = ops.inverse_transform(deq, use_dst)
     recon_blocks = _clip(pred + rec_res, bit_depth)
 
@@ -206,18 +207,24 @@ def encode_plane_fast(
     n: int,
     bit_depth: int = 8,
     scan: str = "diag",
+    use_dst: bool = False,
+    dequant_rescale: bool = False,
 ):
     """Slab-kernel fast path with the same outputs as encode_plane_full.
 
     Covers the dc_planar/energy configuration (the reference encoder's
-    decision) for N in {8, 16, 32} and W % N == 0; qp must be a static
-    Python int.  ~7x the XLA path on TPU (see bench.py).
+    decision) for N in {4, 8, 16, 32} and W % N == 0 at any bit depth,
+    DCT or DST-VII; qp must be a static Python int.  ~7x the XLA path
+    on TPU (see bench.py).
     """
     from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
 
     h, w = plane.shape
     src = plane.astype(jnp.int32)
-    out = slab_encode_plane(src, qp, n, bit_depth=bit_depth, with_modes=True)
+    out = slab_encode_plane(
+        src, qp, n, bit_depth=bit_depth, with_modes=True, use_dst=use_dst,
+        dequant_rescale=dequant_rescale,
+    )
     levels_blocks = ops.tile_plane(out["levels_slab"], n)
     packed = ops.scan_pack(levels_blocks, scan)
     modes_plane = out["modes_slab"]
@@ -240,15 +247,21 @@ def encode_plane_fast_modes(
     n: int,
     bit_depth: int = 8,
     scan: str = "diag",
+    use_dst: bool = False,
+    dequant_rescale: bool = False,
 ):
     """Fused 35-mode-search fast path, same outputs as encode_plane_full.
 
-    Covers mode_set="all"/decision="satd" for N in {8, 16, 32} at 8-bit
-    (3.9x the XLA search on TPU); qp must be a static Python int.
+    Covers mode_set="all"/decision="satd" for N in {4, 8, 16, 32} at any
+    bit depth (3.9x the XLA search on TPU); qp must be a static Python
+    int.
     """
     from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
 
-    out = mode_search_encode_plane(plane, qp, n, bit_depth=bit_depth)
+    out = mode_search_encode_plane(
+        plane, qp, n, bit_depth=bit_depth, use_dst=use_dst,
+        dequant_rescale=dequant_rescale,
+    )
     levels_blocks = ops.tile_plane(out["levels_slab"], n)
     packed = ops.scan_pack(levels_blocks, scan)
     modes = out["modes_slab"][::n, ::n].reshape(-1).astype(jnp.int32)
@@ -267,9 +280,7 @@ def supports_mode_search_fast_path(config, n: int, width: int,
         config.mode_set == "all"
         and config.decision == "satd"
         and config.is_intra
-        and config.bit_depth == 8
-        and not config.use_dst(n, is_luma)
-        and n in (8, 16, 32)
+        and n in (4, 8, 16, 32)
         and width % n == 0
     )
 
@@ -277,9 +288,9 @@ def supports_mode_search_fast_path(config, n: int, width: int,
 def supports_fast_path(config, n: int, width: int, is_luma: bool = True) -> bool:
     """True when encode_plane_fast covers this (config, plane) combo.
 
-    The slab kernel implements the DCT only, so 4x4 luma intra (which
-    the DST-VII rule covers) stays on the XLA path; 4x4 chroma rides
-    the kernel.
+    All block sizes (DST-VII 4x4 luma included) and bit depths ride the
+    slab kernel; boundary fill / clip max / dequant shift are SMEM
+    scalars, the transform weight set is baked per (N, use_dst).
     """
     from nanohevc_tpu.kernels.slab_pipeline import slab_supported
 
@@ -287,8 +298,6 @@ def supports_fast_path(config, n: int, width: int, is_luma: bool = True) -> bool
         config.mode_set == "dc_planar"
         and config.decision == "energy"
         and config.is_intra
-        and config.bit_depth == 8      # slab kernel fixes the 128 fill
-        and not config.use_dst(n, is_luma)
         and slab_supported(n, width)
     )
 
@@ -301,7 +310,7 @@ def _jit_parity(n: int, bit_depth: int):
 @lru_cache(maxsize=None)
 def _jit_full(n: int, mode_set: str, decision: str, use_dst: bool,
               is_intra: bool, bit_depth: int, scan: str,
-              rdo_cbf: bool = False):
+              rdo_cbf: bool = False, dequant_rescale: bool = False):
     return jax.jit(
         partial(
             encode_plane_full,
@@ -313,22 +322,29 @@ def _jit_full(n: int, mode_set: str, decision: str, use_dst: bool,
             bit_depth=bit_depth,
             scan=scan,
             rdo_cbf=rdo_cbf,
+            dequant_rescale=dequant_rescale,
         )
     )
 
 
 @lru_cache(maxsize=None)
-def _jit_fast(n: int, bit_depth: int, scan: str, qp: int):
+def _jit_fast(n: int, bit_depth: int, scan: str, qp: int,
+              use_dst: bool = False, dequant_rescale: bool = False):
     return jax.jit(
-        lambda p: encode_plane_fast(p, qp, n=n, bit_depth=bit_depth, scan=scan)
+        lambda p: encode_plane_fast(
+            p, qp, n=n, bit_depth=bit_depth, scan=scan, use_dst=use_dst,
+            dequant_rescale=dequant_rescale,
+        )
     )
 
 
 @lru_cache(maxsize=None)
-def _jit_fast_modes(n: int, bit_depth: int, scan: str, qp: int):
+def _jit_fast_modes(n: int, bit_depth: int, scan: str, qp: int,
+                    use_dst: bool = False, dequant_rescale: bool = False):
     return jax.jit(
         lambda p: encode_plane_fast_modes(
-            p, qp, n=n, bit_depth=bit_depth, scan=scan
+            p, qp, n=n, bit_depth=bit_depth, scan=scan, use_dst=use_dst,
+            dequant_rescale=dequant_rescale,
         )
     )
 
@@ -387,15 +403,17 @@ def encode_frame_full(frame: Frame, config: EncoderConfig) -> Tuple[Frame, dict]
         # route to the fused slab kernels when the config allows
         # (rdo_cbf needs the XLA path's RD stage)
         if not config.rdo_cbf and supports_fast_path(config, bs, width, is_luma):
-            out = _jit_fast(bs, config.bit_depth, config.scan, config.qp)(
-                jnp.asarray(src.data)
-            )
+            out = _jit_fast(
+                bs, config.bit_depth, config.scan, config.qp,
+                config.use_dst(bs, is_luma), config.dequant_rescale,
+            )(jnp.asarray(src.data))
         elif not config.rdo_cbf and supports_mode_search_fast_path(
             config, bs, width, is_luma
         ):
-            out = _jit_fast_modes(bs, config.bit_depth, config.scan, config.qp)(
-                jnp.asarray(src.data)
-            )
+            out = _jit_fast_modes(
+                bs, config.bit_depth, config.scan, config.qp,
+                config.use_dst(bs, is_luma), config.dequant_rescale,
+            )(jnp.asarray(src.data))
         else:
             fn = _jit_full(
                 bs,
@@ -406,6 +424,7 @@ def encode_frame_full(frame: Frame, config: EncoderConfig) -> Tuple[Frame, dict]
                 config.bit_depth,
                 config.scan,
                 config.rdo_cbf,
+                config.dequant_rescale,
             )
             out = fn(jnp.asarray(src.data), jnp.int32(config.qp))
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)

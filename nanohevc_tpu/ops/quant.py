@@ -39,14 +39,24 @@ def quantize(
     return jnp.sign(c) * level
 
 
-def dequantize(levels: jnp.ndarray, qp, n: int | None = None) -> jnp.ndarray:
-    """coeff = (level*scale + rnd) >> (4 - qp//6)  or  << (qp//6 - 4)."""
+def dequantize(
+    levels: jnp.ndarray, qp, n: int | None = None, rescale: bool = False
+) -> jnp.ndarray:
+    """coeff = (level*scale + rnd) >> (4 - qp//6)  or  << (qp//6 - 4).
+
+    Default (rescale=False) matches the reference, whose dequant shift
+    ignores the block size (parity: quant.py:110-121) — exact inverse
+    gain only at 4x4.  rescale=True restores the spec-correct size
+    term: shift = 6 - log2 N - qp//6 (negative -> left shift), the
+    inverse of the forward 14 + qp//6 + log2 N against MF*DS ~= 2^20.
+    """
     if n is None:
         n = levels.shape[-1]
-    del n  # dequant shift depends only on qp (parity: quant.py:110-121)
+    shift_base = 6 - (n.bit_length() - 1) if rescale else 4
     qp_per, qp_rem = _qp_params(qp)
     base = levels.astype(jnp.int32) * jnp.asarray(_DEQUANT_SCALE, jnp.int32)[qp_rem]
-    sh = jnp.maximum(4 - qp_per, 1)
+    shift = shift_base - qp_per
+    sh = jnp.maximum(shift, 1)
     down = jnp.right_shift(base + jnp.left_shift(1, sh - 1), sh)
-    up = jnp.left_shift(base, jnp.maximum(qp_per - 4, 0))
-    return jnp.where(qp_per < 4, down, up)
+    up = jnp.left_shift(base, jnp.maximum(-shift, 0))
+    return jnp.where(shift >= 1, down, up)

@@ -43,15 +43,25 @@ def quantize(
     return (np.sign(c) * level).astype(np.int32)
 
 
-def dequantize(level: np.ndarray, qp: int, size: int) -> np.ndarray:
-    """coeff = (level * scale) >> (4 - qp//6) with rounding, or << (qp//6 - 4)."""
+def dequantize(
+    level: np.ndarray, qp: int, size: int, rescale: bool = False
+) -> np.ndarray:
+    """coeff = (level * scale) >> (4 - qp//6) with rounding, or << (qp//6 - 4).
+
+    The reference's dequant shift ignores the block size (its quant.py
+    :110-121), which undoes the forward shift exactly only at 4x4 and
+    attenuates coded residuals by 2^(log2 N - 2) above that.
+    rescale=True restores the spec-correct size term (shift becomes
+    6 - log2 N - qp//6, matching the forward 14 + qp//6 + log2 N
+    against MF*DS ~= 2^20); default False preserves reference parity.
+    """
     qp_per, qp_rem = get_qp_params(qp)
     base = np.asarray(level).astype(np.int64) * DEQUANT_SCALE[qp_rem]
-    if qp_per < 4:
-        shift = 4 - qp_per
+    shift = (6 - (size.bit_length() - 1) if rescale else 4) - qp_per
+    if shift >= 1:
         out = (base + (1 << (shift - 1))) >> shift
     else:
-        out = base << (qp_per - 4)
+        out = base << -shift
     return out.astype(np.int32)
 
 

@@ -154,9 +154,12 @@ class TestFastPath:
 
         ok = EncoderConfig(block_size=8, qp=22)
         assert supports_fast_path(ok, 8, 64)
-        assert not supports_fast_path(ok, 4, 64)           # 4x4 luma -> DST
+        assert supports_fast_path(ok, 4, 64)               # 4x4 luma (DST-VII)
         assert supports_fast_path(ok, 4, 64, is_luma=False)  # 4x4 chroma ok
         assert not supports_fast_path(ok, 8, 60)           # W % N != 0
+        assert supports_fast_path(
+            EncoderConfig(block_size=8, qp=22, bit_depth=10), 8, 64
+        )                                                   # 10-bit rides it
         assert not supports_fast_path(
             EncoderConfig(block_size=8, qp=22, mode_set="all", decision="satd"),
             8, 64,
@@ -176,6 +179,57 @@ class TestFastPath:
             want = encode_plane_full(frames[f], jnp.int32(30), n=8)
             assert np.array_equal(np.asarray(out["recon"][f]), np.asarray(want["recon"]))
             assert np.array_equal(np.asarray(out["levels"][f]), np.asarray(want["levels"]))
+
+
+class TestSlabKernelVariants:
+    def test_dst_4x4_luma_matches_full(self):
+        """DST-VII weight set on the slab kernel (4x4 luma intra rule)."""
+        from nanohevc_tpu.models.all_intra import encode_plane_fast, encode_plane_full
+
+        rng = np.random.default_rng(31)
+        plane = jnp.asarray(rng.integers(0, 256, (24, 32)).astype(np.int32))
+        fast = encode_plane_fast(plane, 24, n=4, use_dst=True)
+        full = encode_plane_full(plane, jnp.int32(24), n=4, use_dst=True)
+        for k in ("recon", "levels", "modes", "nnz"):
+            assert np.array_equal(np.asarray(fast[k]), np.asarray(full[k])), k
+
+    def test_dst_requires_4x4(self):
+        from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
+
+        with pytest.raises(ValueError):
+            slab_encode_plane(jnp.zeros((16, 16), jnp.int32), 22, 8, use_dst=True)
+
+    @pytest.mark.parametrize("n", [4, 8])
+    def test_10bit_matches_full(self, n):
+        """Boundary fill / clip max ride the SMEM scalars at 10-bit."""
+        from nanohevc_tpu.models.all_intra import encode_plane_fast, encode_plane_full
+
+        rng = np.random.default_rng(41 + n)
+        plane = jnp.asarray(rng.integers(0, 1024, (4 * n, 6 * n)).astype(np.int32))
+        fast = encode_plane_fast(plane, 30, n=n, bit_depth=10, use_dst=(n == 4))
+        full = encode_plane_full(
+            plane, jnp.int32(30), n=n, bit_depth=10, use_dst=(n == 4)
+        )
+        for k in ("recon", "levels", "modes", "nnz"):
+            assert np.array_equal(np.asarray(fast[k]), np.asarray(full[k])), k
+
+    def test_dequant_rescale_matches_full(self):
+        """Spec-correct dequant gain on the slab kernel == XLA path."""
+        from nanohevc_tpu.models.all_intra import encode_plane_fast, encode_plane_full
+
+        rng = np.random.default_rng(51)
+        plane = jnp.asarray(rng.integers(0, 256, (32, 64)).astype(np.int32))
+        fast = encode_plane_fast(plane, 28, n=8, dequant_rescale=True)
+        full = encode_plane_full(
+            plane, jnp.int32(28), n=8, dequant_rescale=True
+        )
+        for k in ("recon", "levels"):
+            assert np.array_equal(np.asarray(fast[k]), np.asarray(full[k])), k
+        # and it actually changes the recon vs parity mode at N > 4
+        parity = encode_plane_fast(plane, 28, n=8)
+        assert not np.array_equal(
+            np.asarray(fast["recon"]), np.asarray(parity["recon"])
+        )
 
 
 class TestModeSearchKernel:
@@ -225,6 +279,64 @@ class TestModeSearchKernel:
         ref = encode_plane_full(
             plane, jnp.int32(24), n=n, mode_set="all", decision="satd"
         )
+        assert np.array_equal(np.asarray(out["recon"]), np.asarray(ref["recon"]))
+
+    def test_n4_matches_xla_mode_search(self):
+        """N == 4 (two block-rows per slab) with the DST-VII transform."""
+        from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+        from nanohevc_tpu.kernels.slab_pipeline import levels_plane_to_blocks
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+
+        n = 4
+        rng = np.random.default_rng(4)
+        plane = jnp.asarray(rng.integers(0, 256, (20, 24)).astype(np.int32))
+        out = mode_search_encode_plane(plane, 26, n, interpret=True, use_dst=True)
+        ref = encode_plane_full(
+            plane, jnp.int32(26), n=n, mode_set="all", decision="satd",
+            use_dst=True,
+        )
+        got_modes = np.asarray(out["modes_slab"])[::n, ::n].reshape(-1)
+        assert np.array_equal(got_modes, np.asarray(ref["modes"]))
+        assert np.array_equal(np.asarray(out["recon"]), np.asarray(ref["recon"]))
+        got_lv = np.asarray(levels_plane_to_blocks(out["levels_slab"], n))
+        assert np.array_equal(got_lv, np.asarray(ops.scan_unpack(ref["levels"])))
+
+    def test_partial_height_reads_true_trailing_rows(self):
+        """Left refs below the last block-row must read the REAL trailing
+        source rows (extract_refs clamps to the plane's last row, not the
+        last block row) — the replicated-pad slab makes this exact."""
+        from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+
+        n = 8
+        rng = np.random.default_rng(78)
+        base = rng.integers(0, 256, (2 * n + 5, 3 * n)).astype(np.int32)
+        # make the trailing rows extreme so a wrong clamp changes modes
+        base[2 * n :, :] = 255
+        base[: 2 * n :, : n] = 0
+        plane = jnp.asarray(base)
+        out = mode_search_encode_plane(plane, 24, n, interpret=True)
+        ref = encode_plane_full(
+            plane, jnp.int32(24), n=n, mode_set="all", decision="satd"
+        )
+        got_modes = np.asarray(out["modes_slab"])[::n, ::n].reshape(-1)
+        assert np.array_equal(got_modes, np.asarray(ref["modes"]))
+        assert np.array_equal(np.asarray(out["recon"]), np.asarray(ref["recon"]))
+
+    def test_10bit_matches_xla_mode_search(self):
+        from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+
+        n = 8
+        rng = np.random.default_rng(10)
+        plane = jnp.asarray(rng.integers(0, 1024, (2 * n, 3 * n)).astype(np.int32))
+        out = mode_search_encode_plane(plane, 30, n, interpret=True, bit_depth=10)
+        ref = encode_plane_full(
+            plane, jnp.int32(30), n=n, mode_set="all", decision="satd",
+            bit_depth=10,
+        )
+        got_modes = np.asarray(out["modes_slab"])[::n, ::n].reshape(-1)
+        assert np.array_equal(got_modes, np.asarray(ref["modes"]))
         assert np.array_equal(np.asarray(out["recon"]), np.asarray(ref["recon"]))
 
     def test_fast_modes_wrapper_matches_full(self):

@@ -152,3 +152,73 @@ class TestPipeline:
         rec_res = inverse_transform_4x4(dequantize(level, qp=20, size=4))
         recon = reconstruct_block(pred, rec_res.astype(np.int16))
         assert np.max(np.abs(recon - orig)) < 20
+
+
+class TestDequantRescale:
+    """Spec-correct size rescale (config flag; default preserves parity)."""
+
+    @pytest.mark.parametrize("size,gain", [(4, 1), (8, 2), (16, 4), (32, 8)])
+    def test_rescale_gain_vs_parity(self, size, gain):
+        """rescale multiplies the parity dequant by 2^(log2 N - 2)."""
+        level = np.full((size, size), 64, np.int32)
+        for qp in (0, 10, 25, 40, 51):
+            parity = dequantize(level, qp, size)
+            resc = dequantize(level, qp, size, rescale=True)
+            # use a level large enough that shift rounding is negligible
+            ratio = resc.astype(np.int64).sum() / max(1, parity.astype(np.int64).sum())
+            assert abs(ratio - gain) <= 0.02, (qp, ratio)
+
+    @pytest.mark.parametrize("size", [8, 16, 32])
+    def test_rescale_round_trip_unbiased(self, size):
+        """quantize -> rescaled dequantize approximates identity (the
+        parity chain attenuates by 2^(log2 N - 2) instead)."""
+        rng = np.random.default_rng(size)
+        c = rng.integers(-2000, 2000, (size, size)).astype(np.int32)
+        qp = 10
+        back = dequantize(quantize(c, qp, size), qp, size, rescale=True)
+        # coeff-domain quant step ~ 2^((qp-4)/6) * N/4 (the forward
+        # shift carries log2 N, so the step doubles per size octave)
+        step = 2 ** ((qp - 4) / 6) * size * 0.8
+        assert np.abs(back - c).max() <= step, np.abs(back - c).max()
+        # and the PARITY chain attenuates: round trip lands near c / gain
+        par = dequantize(quantize(c, qp, size), qp, size)
+        gain = size // 4
+        assert np.abs(par - c // gain).max() <= step, "parity attenuation"
+
+    def test_rescale_identical_at_4x4(self):
+        rng = np.random.default_rng(4)
+        lv = rng.integers(-500, 500, (4, 4)).astype(np.int32)
+        for qp in range(0, 52, 7):
+            assert np.array_equal(
+                dequantize(lv, qp, 4), dequantize(lv, qp, 4, rescale=True)
+            )
+
+    def test_ops_matches_oracle_with_rescale(self):
+        import jax.numpy as jnp
+        from nanohevc_tpu import ops
+
+        rng = np.random.default_rng(7)
+        for n in (4, 8, 16, 32):
+            lv = rng.integers(-1000, 1000, (3, n, n)).astype(np.int32)
+            for qp in (0, 13, 29, 47):
+                want = np.stack([dequantize(b, qp, n, rescale=True) for b in lv])
+                got = np.asarray(ops.dequantize(jnp.asarray(lv), qp, n, rescale=True))
+                assert np.array_equal(got, want), (n, qp)
+
+    def test_encode_psnr_improves_with_rescale(self):
+        """The config flag improves recon quality at N > 4 (the parity
+        chain feeds back attenuated residuals)."""
+        import jax.numpy as jnp
+        from nanohevc_tpu import ops
+        from nanohevc_tpu.models.all_intra import encode_plane_full
+
+        rng = np.random.default_rng(0)
+        yy, xx = np.mgrid[0:32, 0:64]
+        img = (yy * 1.5 + xx * 0.7 + 30 * np.sin(xx / 7)
+               + rng.normal(0, 10, (32, 64))).clip(0, 255)
+        plane = jnp.asarray(img.astype(np.int32))
+        base = encode_plane_full(plane, jnp.int32(12), n=8)
+        resc = encode_plane_full(plane, jnp.int32(12), n=8, dequant_rescale=True)
+        p0 = float(ops.psnr(plane, base["recon"]))
+        p1 = float(ops.psnr(plane, resc["recon"]))
+        assert p1 > p0 + 0.5, (p0, p1)
