@@ -30,10 +30,11 @@ def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
     """(F, H, W) int32 planes -> dict of batched outputs + mean PSNR.
 
     Uses the fused slab-kernel fast path when the configuration allows
-    (dc_planar/energy, N % 8 == 0, W % N == 0) — ~7x the XLA path on
-    TPU — else the general XLA pipeline.  The fast path is disabled
-    under a sharded mesh (the SPMD partitioner cannot split the
-    Pallas custom call).
+    (dc_planar/energy or all/satd, W % N == 0) — ~7x the XLA path on
+    TPU — else the general XLA pipeline.  allow_fast=False forces the
+    XLA pipeline; under a mesh the sharded kernel path lives in
+    spatial.py (the SPMD partitioner cannot split a Pallas call, so
+    make_batch_encoder routes there explicitly).
     """
     from nanohevc_tpu.models.all_intra import (
         encode_plane_fast,
@@ -49,13 +50,15 @@ def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
         def one(plane):
             return encode_plane_fast(
                 plane, config.qp, n=n, bit_depth=config.bit_depth,
-                scan=config.scan,
+                scan=config.scan, use_dst=config.use_dst(n, is_luma),
+                dequant_rescale=config.dequant_rescale,
             )
     elif allow_fast and supports_mode_search_fast_path(config, n, width, is_luma):
         def one(plane):
             return encode_plane_fast_modes(
                 plane, config.qp, n=n, bit_depth=config.bit_depth,
-                scan=config.scan,
+                scan=config.scan, use_dst=config.use_dst(n, is_luma),
+                dequant_rescale=config.dequant_rescale,
             )
     else:
         def one(plane):
@@ -69,6 +72,8 @@ def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
                 is_intra=config.is_intra,
                 bit_depth=config.bit_depth,
                 scan=config.scan,
+                rdo_cbf=config.rdo_cbf,
+                dequant_rescale=config.dequant_rescale,
             )
 
     out = jax.vmap(one)(planes)
@@ -89,21 +94,62 @@ def make_batch_encoder(
     Returns fn(planes (F, H, W) int32, qp scalar) -> dict.  With a
     mesh, inputs are annotated P('frame', 'space', None): the frame
     batch spreads over the 'frame' axis and plane rows over 'space'.
+
+    When the config is covered by a fused kernel (dc_planar/energy or
+    all/satd), the sharded call routes through the shard_map harness
+    (spatial.py: explicit ppermute halos around the Pallas kernels) —
+    the kernels are NOT forfeited under a mesh.  The fast paths bake
+    config.qp (a Pallas-static scalar); like the unsharded fast path,
+    the runtime qp argument is ignored there.
     """
-    step = partial(
-        _batch_step, config=config, is_luma=is_luma, allow_fast=mesh is None
-    )
     if mesh is None:
+        step = partial(_batch_step, config=config, is_luma=is_luma)
         return jax.jit(step, donate_argnums=(0,) if donate else ())
+
     in_shardings = (
         NamedSharding(mesh, P("frame", "space", None)),
         NamedSharding(mesh, P()),
     )
-    return jax.jit(
-        step,
+    xla_fn = jax.jit(
+        partial(_batch_step, config=config, is_luma=is_luma, allow_fast=False),
         in_shardings=in_shardings,
         donate_argnums=(0,) if donate else (),
     )
+
+    fast_cache: dict[str, Callable] = {}
+
+    def _fast_with_metrics(variant: str) -> Callable:
+        from nanohevc_tpu.parallel.spatial import make_sharded_fast_encoder
+
+        fast = make_sharded_fast_encoder(config, mesh, variant, is_luma)
+
+        def run(planes, qp):
+            del qp  # fast kernels bake config.qp (Pallas-static)
+            out = dict(fast(planes))
+            frame_psnr = jax.vmap(psnr)(planes.astype(jnp.int32), out["recon"])
+            out["psnr"] = frame_psnr
+            out["mean_psnr"] = jnp.mean(frame_psnr)
+            out["nnz"] = (out["levels"] != 0).sum(axis=-1)
+            return out
+
+        return jax.jit(run, in_shardings=in_shardings)
+
+    def dispatch(planes, qp):
+        from nanohevc_tpu.parallel.spatial import sharded_fast_supported
+
+        h, w = planes.shape[-2:]
+        variant = (
+            None
+            if config.rdo_cbf
+            else sharded_fast_supported(config, mesh, h, w, is_luma)
+        )
+        if variant is None:
+            return xla_fn(planes, qp)
+        if variant not in fast_cache:
+            fast_cache[variant] = _fast_with_metrics(variant)
+        return fast_cache[variant](planes, qp)
+
+    return dispatch
 
 
 def encode_batch_sharded(

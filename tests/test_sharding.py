@@ -80,6 +80,41 @@ class TestGraftEntry:
 
         dryrun_multichip(len(jax.devices()))
 
+    def test_dryrun_multichip_driver_pattern(self):
+        """Simulate the driver: a process whose backend has ONE device
+        (no conftest env forcing) calls dryrun_multichip(8).  The entry
+        must bootstrap a virtual 8-device mesh itself (round-1 red:
+        MULTICHIP_r01.json rc=1)."""
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU relay from tests
+        env["JAX_PLATFORMS"] = "cpu"
+        # Strip the conftest's virtual-device forcing: the driver's
+        # process sees exactly one device.
+        env["XLA_FLAGS"] = " ".join(
+            t
+            for t in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in t
+        )
+        code = (
+            "import sys; sys.path.insert(0, '/root/repo'); "
+            "import jax; assert len(jax.devices()) == 1, jax.devices(); "
+            "from __graft_entry__ import dryrun_multichip; "
+            "dryrun_multichip(8); print('DRYRUN_OK')"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        assert "DRYRUN_OK" in proc.stdout
+
     def test_entry_compiles(self):
         import sys
 
@@ -91,6 +126,45 @@ class TestGraftEntry:
         small = plane[:64, :128]
         out = jax.jit(fn)(small, qp)
         assert out["recon"].shape == (64, 128)
+
+
+class TestBatchEncoderKernelRouting:
+    @needs_8
+    def test_mesh_batch_encoder_uses_slab_kernel(self):
+        """make_batch_encoder under a mesh routes to the shard_map slab
+        kernel (round-1 weak #3: the mesh forfeited the fast paths)."""
+        from nanohevc_tpu.parallel.spatial import sharded_fast_supported
+
+        mesh = make_mesh(space=2)
+        cfg = EncoderConfig(block_size=8, qp=22)
+        assert sharded_fast_supported(cfg, mesh, 32, 64) == "slab"
+        cfg_ms = EncoderConfig(
+            block_size=8, qp=22, mode_set="all", decision="satd"
+        )
+        assert sharded_fast_supported(cfg_ms, mesh, 32, 64) == "mode_search"
+        # shard height not a block multiple -> XLA fallback
+        assert sharded_fast_supported(cfg, mesh, 40, 64) is None
+
+    @needs_8
+    @pytest.mark.parametrize("space", [1, 2])
+    def test_sharded_mode_search_matches_single_device(self, space):
+        """Sharded fused 35-mode search == per-frame XLA mode search."""
+        mesh = make_mesh(space=space)
+        f_axis = 8 // space
+        rng = np.random.default_rng(9)
+        frames = rng.integers(0, 256, (f_axis, 16 * space, 64)).astype(np.int32)
+        cfg = EncoderConfig(block_size=8, qp=25, mode_set="all", decision="satd")
+
+        out = encode_batch_sharded(frames, 25, cfg, mesh)
+        for f in range(frames.shape[0]):
+            single = encode_plane_full(
+                jnp.asarray(frames[f]), jnp.int32(25), n=8,
+                mode_set="all", decision="satd",
+            )
+            for k in ("recon", "levels", "modes"):
+                assert np.array_equal(
+                    np.asarray(out[k][f]), np.asarray(single[k])
+                ), (k, f)
 
 
 class TestSpatialFastPath:
