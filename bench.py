@@ -1,29 +1,38 @@
-"""Benchmark: 1080p all-intra luma full-pipeline throughput on one chip.
+"""Benchmark: all-intra encode throughput on one chip, multi-config.
 
-Measures the flagship path (BASELINE.json north star): the fused
-slab Pallas kernel — neighbor refs -> DC/planar mode decision ->
-predict -> residual -> 8x8 DCT -> quantize(QP22) -> dequantize ->
-inverse -> reconstruct -> clip, whole plane per launch — on the
-ambient backend (the real TPU chip under the driver).
+Rows (each timed separately and gated on bit-exactness):
+  1. flagship — 1080p luma, 8x8 dc_planar/energy full pipeline on the
+     fused slab kernel (BASELINE.json north star); gated on a 256-block
+     bit-exactness check vs the numpy oracle.
+  2. mode_search_8x8 — 1080p luma, full 35-mode SATD search fused in
+     VMEM; gated on whole-frame equality vs the XLA decide_modes path
+     (itself oracle-fuzzed in tests/test_reference_parity.py).
+  3. mode_search_4x4_dst — 1080p luma, 35-mode SATD at 4x4 with the
+     DST-VII transform (the HEVC 4x4 luma intra rule); same gate.
+  4. full_yuv — 1080p 4:2:0 frame (Y 8x8 + U/V 4x4 chroma) through the
+     slab kernels; gated on whole-plane equality vs the XLA path.
+  5. uhd_4k — 2160x3840 luma, 8x8 dc_planar slab; 256-block oracle gate.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": Mpix/s, "unit": "Mpix/s", "vs_baseline": x}
+Prints ONE JSON line; the top-level metric/value is the flagship row,
+and the full row set rides in "rows":
+  {"metric": ..., "value": Mpix/s, "unit": "Mpix/s", "vs_baseline": x,
+   "rows": [{"metric": ..., "value": ..., "unit": "Mpix/s",
+             "bit_exact": true}, ...]}
 
 vs_baseline is the speedup over the reference's measured full-pipeline
 rate of ~0.10 Mpix/s on one CPU core (BASELINE.md).
 
 Methodology, shaped by the axon tunnel's failure modes (device->host
 transfers are slow and can wedge; per-dispatch overhead ~10 ms):
-- FRAMES frames are encoded per dispatch (vmapped batch - the
-  production serving shape and BASELINE config 5), amortizing the
-  tunnel's dispatch latency;
-- only the 256-block oracle check fetches data, after timing, via a
-  device-side gather (~130 KB);
+- several frames are encoded per dispatch (vmapped batch - the
+  production serving shape), amortizing the tunnel's dispatch latency;
+- timing syncs via one 4-byte scalar fetch of the LAST result (the
+  only honest sync through the tunnel: block_until_ready resolves at
+  enqueue);
+- gates fetch at most ~130 KB (sampled blocks) or one comparison
+  scalar computed on device;
 - the whole run executes in a subprocess with a timeout and retries,
   so a wedged transfer cannot hang the driver.
-
-A 256-block bit-exactness check against the numpy oracle gates the
-result (any mismatch -> exit 1).
 """
 
 from __future__ import annotations
@@ -37,9 +46,8 @@ import time
 import numpy as np
 
 BASELINE_MPIX_S = 0.10  # reference full per-block pipeline, BASELINE.md
-H, W, N, QP = 1080, 1920, 8, 22
-FRAMES, WARMUP, ITERS = 32, 3, 20
-ATTEMPT_TIMEOUT_S = 600
+H, W, QP = 1080, 1920, 22
+ATTEMPT_TIMEOUT_S = 1500
 ATTEMPTS = 3
 
 
@@ -47,7 +55,34 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def check_bit_exact(plane, host_plane) -> float:
+def time_batch(batch_fn, frames, sync, pixels_per_iter, target_s, label):
+    """Enqueue-K-batches/one-scalar-fetch timing loop -> Mpix/s."""
+    t0 = time.time()
+    out = batch_fn(frames)
+    sync(out)
+    log(f"[{label}] compile+first batch: {time.time() - t0:.1f}s")
+
+    iters = 4
+    while True:
+        t0 = time.time()
+        out = None
+        for _ in range(iters):
+            out = batch_fn(frames)
+        sync(out)
+        dt = time.time() - t0
+        log(f"[{label}] {iters} batches: {dt:.2f}s wall")
+        if dt > target_s or iters >= 4096:
+            break
+        iters = min(
+            iters * 4,
+            max(iters + 1, int(iters * (target_s * 1.1) / max(dt, 0.3))),
+        )
+    mpix_s = pixels_per_iter * iters / dt / 1e6
+    log(f"[{label}] -> {mpix_s:.1f} Mpix/s")
+    return mpix_s
+
+
+def oracle_gate(plane, host_plane, n, height, width) -> float:
     """% of 256 sampled blocks matching the numpy oracle bit-for-bit.
 
     Only the sampled blocks are fetched (device-side gather, ~130 KB).
@@ -57,21 +92,20 @@ def check_bit_exact(plane, host_plane) -> float:
 
     from nanohevc_tpu import ref as oracle
     from nanohevc_tpu.ops import tile_plane
-
     from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
 
     rng = np.random.default_rng(0)
-    nb = (H // N) * (W // N)
-    nbx = W // N
+    nb = (height // n) * (width // n)
+    nbx = width // n
     sample = rng.choice(nb, size=256, replace=False)
     idx = jnp.asarray(sample)
 
     @jax.jit
     def run_and_gather(p):
-        out = slab_encode_plane(p, QP, N)
+        out = slab_encode_plane(p, QP, n)
         return (
-            tile_plane(out["levels_slab"], N)[idx],
-            tile_plane(out["recon"], N)[idx],
+            tile_plane(out["levels_slab"], n)[idx],
+            tile_plane(out["recon"], n)[idx],
         )
 
     levels_s, recon_s = run_and_gather(plane)
@@ -81,22 +115,29 @@ def check_bit_exact(plane, host_plane) -> float:
     p = host_plane
     bad = 0
     for k, b in enumerate(sample):
-        y0, x0 = (b // nbx) * N, (b % nbx) * N
-        blk = p[y0 : y0 + N, x0 : x0 + N]
-        top = np.full(N, 128, np.int16) if y0 == 0 else p[y0 - 1, x0 : x0 + N].astype(np.int16)
-        left = np.full(N, 128, np.int16) if x0 == 0 else p[y0 : y0 + N, x0 - 1].astype(np.int16)
-        dc = oracle.intra_dc_predict(top, left, N)
-        pln = oracle.intra_planar_predict(top, left, int(top[-1]), int(left[-1]), N)
+        y0, x0 = (b // nbx) * n, (b % nbx) * n
+        blk = p[y0 : y0 + n, x0 : x0 + n]
+        top = np.full(n, 128, np.int16) if y0 == 0 else p[y0 - 1, x0 : x0 + n].astype(np.int16)
+        left = np.full(n, 128, np.int16) if x0 == 0 else p[y0 : y0 + n, x0 - 1].astype(np.int16)
+        dc = oracle.intra_dc_predict(top, left, n)
+        pln = oracle.intra_planar_predict(top, left, int(top[-1]), int(left[-1]), n)
         e_dc = oracle.residual_energy(oracle.residual_block(blk, dc))
         e_pl = oracle.residual_energy(oracle.residual_block(blk, pln))
         pred = dc if e_dc <= e_pl else pln
         res = blk.astype(np.int32) - pred.astype(np.int32)
-        lvl = oracle.quantize(oracle.forward_transform(res), QP, N)
-        inv = oracle.inverse_transform(oracle.dequantize(lvl, QP, N))
+        lvl = oracle.quantize(oracle.forward_transform(res), QP, n)
+        inv = oracle.inverse_transform(oracle.dequantize(lvl, QP, n))
         recon = np.clip(pred.astype(np.int32) + inv, 0, 255)
         if not (np.array_equal(lvl, levels_s[k]) and np.array_equal(recon, recon_s[k])):
             bad += 1
     return 100.0 * (len(sample) - bad) / len(sample)
+
+
+def device_equal(a, b) -> bool:
+    """Whole-array equality computed on device; one scalar fetched."""
+    import jax.numpy as jnp
+
+    return bool(jnp.array_equal(a, b))
 
 
 def run_bench() -> None:
@@ -104,59 +145,130 @@ def run_bench() -> None:
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from __graft_entry__ import entry
+    from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+    from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
+    from nanohevc_tpu.models.all_intra import encode_plane_full
 
     log(f"backend: {jax.devices()}")
-    _, (plane, qp) = entry()
-    host_plane = np.random.default_rng(0).integers(0, 256, (H, W)).astype(np.int32)
+    rng = np.random.default_rng(0)
+    host_plane = rng.integers(0, 256, (H, W)).astype(np.int32)
+    plane = jnp.asarray(host_plane)
 
-    # Per-dispatch tunnel overhead is ~10 ms, far above the device time
-    # for one 1080p frame, so the production-shaped measurement batches
-    # FRAMES frames per dispatch (vmapped encode = BASELINE config 5's
-    # multi-frame throughput shape) and times ITERS dispatches.
-    from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
-
-    frames = jnp.stack([plane] * FRAMES)
-    batch_fn = jax.jit(jax.vmap(lambda p: slab_encode_plane(p, QP, N)))
-
-    t0 = time.time()
-    out = batch_fn(frames)
-    _ = int(out["recon"][0, 0, 0])  # real fetch: block_until_ready lies
-    log(f"compile+first batch({FRAMES} frames): {time.time() - t0:.1f}s")
-
-    # Enqueue K batches, then one 4-byte fetch of the LAST result -
-    # the only honest sync through the tunnel.  Grow K until compute
-    # dominates the fetch's constant overhead; report the conservative
-    # quotient (includes that overhead, so it undercounts slightly).
-    iters = ITERS
-    while True:
-        t0 = time.time()
-        out = None
-        for _ in range(iters):
-            out = batch_fn(frames)
+    def sync_recon(out):
         _ = int(out["recon"][0, 0, 0])
-        dt = time.time() - t0
-        log(f"{iters} x {FRAMES}-frame batches: {dt:.2f}s wall")
-        if dt > 20.0 or iters >= 4096:
-            break
-        iters = min(iters * 4, max(iters + 1, int(iters * 22.0 / max(dt, 0.5))))
 
-    mpix_s = (H * W * FRAMES * iters) / dt / 1e6
-    log(f"-> {mpix_s:.1f} Mpix/s ({dt/(iters*FRAMES)*1e3:.3f} ms/frame incl "
-        "tunnel sync overhead)")
+    rows = []
+    gates_ok = True
 
-    pct = check_bit_exact(plane, host_plane)
-    log(f"bit-exact blocks vs numpy oracle: {pct:.1f}% (256 sampled)")
-    if pct < 100.0:
-        print(json.dumps({"metric": "BIT-EXACTNESS FAILURE", "value": pct,
-                          "unit": "%", "vs_baseline": 0.0}))
+    def add_row(metric, value, bit_exact):
+        nonlocal gates_ok
+        rows.append({
+            "metric": metric,
+            "value": round(value, 1),
+            "unit": "Mpix/s",
+            "bit_exact": bool(bit_exact),
+        })
+        log(f"[{metric}] bit_exact={bit_exact}")
+        gates_ok = gates_ok and bit_exact
+
+    # ---- Row 1: flagship 1080p 8x8 dc_planar slab ------------------------
+    frames32 = jnp.stack([plane] * 32)
+    flag_fn = jax.jit(jax.vmap(lambda p: slab_encode_plane(p, QP, 8)))
+    flagship = time_batch(
+        flag_fn, frames32, sync_recon, H * W * 32, 15.0, "flagship"
+    )
+    pct = oracle_gate(plane, host_plane, 8, H, W)
+    log(f"[flagship] oracle gate: {pct:.1f}% of 256 blocks")
+    add_row("1080p luma 8x8 dc_planar full pipeline", flagship, pct == 100.0)
+
+    # ---- Row 2: 1080p 35-mode SATD search (8x8) --------------------------
+    frames8 = jnp.stack([plane] * 8)
+    ms8_fn = jax.jit(jax.vmap(lambda p: mode_search_encode_plane(p, QP, 8)))
+    ms8 = time_batch(ms8_fn, frames8, sync_recon, H * W * 8, 8.0, "mode8")
+    got = ms8_fn(frames8)
+    want = jax.jit(
+        lambda p: encode_plane_full(
+            p, jnp.int32(QP), n=8, mode_set="all", decision="satd"
+        )
+    )(plane)
+    ok = device_equal(got["recon"][0], want["recon"]) and device_equal(
+        got["modes_slab"][0][::8, ::8].reshape(-1), want["modes"]
+    )
+    add_row("1080p luma 35-mode SATD search, 8x8", ms8, ok)
+
+    # ---- Row 3: 1080p 35-mode SATD search at 4x4 + DST-VII ---------------
+    frames4 = jnp.stack([plane] * 4)
+    ms4_fn = jax.jit(
+        jax.vmap(lambda p: mode_search_encode_plane(p, QP, 4, use_dst=True))
+    )
+    ms4 = time_batch(ms4_fn, frames4, sync_recon, H * W * 4, 8.0, "mode4")
+    got = ms4_fn(frames4)
+    want = jax.jit(
+        lambda p: encode_plane_full(
+            p, jnp.int32(QP), n=4, mode_set="all", decision="satd",
+            use_dst=True,
+        )
+    )(plane)
+    ok = device_equal(got["recon"][0], want["recon"]) and device_equal(
+        got["modes_slab"][0][::4, ::4].reshape(-1), want["modes"]
+    )
+    add_row("1080p luma 35-mode SATD search, 4x4 DST-VII", ms4, ok)
+
+    # ---- Row 4: full 4:2:0 YUV frame (Y 8x8 + U/V 4x4) -------------------
+    host_u = rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32)
+    host_v = rng.integers(0, 256, (H // 2, W // 2)).astype(np.int32)
+    u = jnp.asarray(host_u)
+    v = jnp.asarray(host_v)
+
+    def yuv_one(y, u, v):
+        ry = slab_encode_plane(y, QP, 8)["recon"]
+        ru = slab_encode_plane(u, QP, 4)["recon"]
+        rv = slab_encode_plane(v, QP, 4)["recon"]
+        return ry, ru, rv
+
+    yuv_fn = jax.jit(jax.vmap(yuv_one))
+    yuv_frames = (
+        jnp.stack([plane] * 16), jnp.stack([u] * 16), jnp.stack([v] * 16)
+    )
+    yuv = time_batch(
+        lambda t: yuv_fn(*t), yuv_frames,
+        lambda out: int(out[0][0, 0, 0]),
+        int(H * W * 1.5) * 16, 8.0, "yuv",
+    )
+    ry, ru, rv = yuv_fn(*yuv_frames)
+    want_y = jax.jit(lambda p: encode_plane_full(p, jnp.int32(QP), n=8))(plane)
+    want_u = jax.jit(lambda p: encode_plane_full(p, jnp.int32(QP), n=4))(u)
+    ok = device_equal(ry[0], want_y["recon"]) and device_equal(
+        ru[0], want_u["recon"]
+    )
+    add_row("1080p 4:2:0 YUV frame (Y 8x8 + UV 4x4)", yuv, ok)
+
+    # ---- Row 5: 4K luma ---------------------------------------------------
+    host_4k = np.random.default_rng(0).integers(0, 256, (2160, 3840)).astype(np.int32)
+    p4k = jnp.asarray(host_4k)
+    frames4k = jnp.stack([p4k] * 8)
+    f4k_fn = jax.jit(jax.vmap(lambda p: slab_encode_plane(p, QP, 8)))
+    r4k = time_batch(
+        f4k_fn, frames4k, sync_recon, 2160 * 3840 * 8, 8.0, "4k"
+    )
+    pct = oracle_gate(p4k, host_4k, 8, 2160, 3840)
+    log(f"[4k] oracle gate: {pct:.1f}% of 256 blocks")
+    add_row("4K (2160x3840) luma 8x8 dc_planar full pipeline", r4k, pct == 100.0)
+
+    # ---- Emit -------------------------------------------------------------
+    if not gates_ok:
+        print(json.dumps({
+            "metric": "BIT-EXACTNESS FAILURE", "value": 0.0, "unit": "Mpix/s",
+            "vs_baseline": 0.0, "rows": rows,
+        }))
         sys.exit(1)
 
     print(json.dumps({
         "metric": "1080p all-intra luma full pipeline (predict+DCT+Q+IQ+recon), 1 chip",
-        "value": round(mpix_s, 1),
+        "value": round(flagship, 1),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 1),
+        "vs_baseline": round(flagship / BASELINE_MPIX_S, 1),
+        "rows": rows,
     }))
 
 
