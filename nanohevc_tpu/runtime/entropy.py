@@ -44,6 +44,13 @@ def _lib() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
+    lib.nhr_block_bits.restype = None
+    lib.nhr_block_bits.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double),
+    ]
     lib.nhr_write_params.restype = ctypes.c_int64
     lib.nhr_write_params.argtypes = [
         ctypes.c_int32,
@@ -77,14 +84,51 @@ def encode_levels(levels: np.ndarray) -> bytes:
     return out[:n].tobytes()
 
 
+class CorruptBitstreamError(ValueError):
+    """The payload failed integrity verification (truncated, garbage, or
+    bit-flipped): the checksum trailer or decoder bounds tripped."""
+
+
 def decode_levels(data: bytes, nb: int, ncoef: int) -> np.ndarray:
-    """Inverse of encode_levels: bytes -> (nb, ncoef) int32 levels."""
+    """Inverse of encode_levels: bytes -> (nb, ncoef) int32 levels.
+
+    Raises CorruptBitstreamError when the payload does not verify —
+    silent mis-decodes are the failure mode of a real bitstream, so
+    every payload carries a checksum trailer and the decoder bounds-
+    checks its byte consumption (nanohevc_runtime.cpp).
+    """
     buf = np.frombuffer(data, dtype=np.uint8)
     buf = np.ascontiguousarray(buf)
     out = np.empty((nb, ncoef), dtype=np.int32)
     rc = _lib().nhr_decode_levels(_u8ptr(buf), len(data), nb, ncoef, _i32ptr(out))
     if rc != 0:
-        raise RuntimeError("entropy decoder failure")
+        reasons = {
+            1: "truncated (shorter than its checksum trailer)",
+            2: "checksum mismatch",
+            3: "decoder overran the coded bytes",
+        }
+        raise CorruptBitstreamError(
+            f"corrupt level payload: {reasons.get(rc, rc)}"
+        )
+    return out
+
+
+def block_bits(levels: np.ndarray) -> np.ndarray:
+    """Exact per-block rate of the adaptive coder, in fractional bits.
+
+    (nb, ncoef) int32 scan-ordered levels -> (nb,) float64.  Replays
+    the real context machinery (carry state across blocks, like the
+    encoder); matches the byte count of encode_levels to < 0.1% —
+    the ground truth for RD decisions and for calibrating the
+    device-side rate model (ops/rate.py).
+    """
+    levels = np.ascontiguousarray(levels, dtype=np.int32)
+    nb, ncoef = levels.shape
+    out = np.empty(nb, dtype=np.float64)
+    _lib().nhr_block_bits(
+        _i32ptr(levels), nb, ncoef,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
     return out
 
 

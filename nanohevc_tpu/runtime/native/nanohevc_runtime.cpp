@@ -21,6 +21,7 @@
 // Build: g++ -O3 -shared -fPIC (see runtime/build.py).  C ABI only;
 // Python binds via ctypes (runtime/entropy.py).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -164,6 +165,12 @@ class RangeDecoder {
     for (int i = 0; i < 4; ++i) code_ = (code_ << 8) | next_byte();
   }
 
+  // True once the stream has read materially past its end (a valid
+  // stream's decoder never consumes more than the encoder's 5-byte
+  // flush slack) or a syntax element overran its bound.
+  bool failed() const { return failed_; }
+  void set_failed() { failed_ = true; }
+
   int decode(Context* ctx) {
     uint32_t r1 = split(ctx->p1);
     int bin;
@@ -211,11 +218,17 @@ class RangeDecoder {
     }
   }
 
-  uint8_t next_byte() { return pos_ < n_ ? data_[pos_++] : 0; }
+  uint8_t next_byte() {
+    if (pos_ < n_) return data_[pos_++];
+    if (++overrun_ > 5) failed_ = true;
+    return 0;
+  }
 
   const uint8_t* data_;
   size_t n_;
   size_t pos_ = 0;
+  size_t overrun_ = 0;
+  bool failed_ = false;
   uint32_t code_ = 0;
   uint32_t range_ = 0xffffffffu;
 };
@@ -251,7 +264,15 @@ void encode_eg0(RangeEncoder* enc, uint32_t v) {
 
 uint32_t decode_eg0(RangeDecoder* dec) {
   int len = 0;
-  while (dec->decode_bypass()) ++len;
+  // Cap the unary prefix: legal levels fit 32 bits, so len > 40 can
+  // only come from a corrupt stream (zero-extended garbage decodes an
+  // endless run of 1-bins — without the cap this loop never exits).
+  while (dec->decode_bypass()) {
+    if (++len > 40) {
+      dec->set_failed();
+      return 0;
+    }
+  }
   uint64_t x = 1;
   for (int i = 0; i < len; ++i) x = (x << 1) | dec->decode_bypass();
   return static_cast<uint32_t>(x - 1);
@@ -284,11 +305,15 @@ void encode_block(RangeEncoder* enc, ResidualContexts* cx,
 void decode_block(RangeDecoder* dec, ResidualContexts* cx, int32_t* levels,
                   int32_t ncoef) {
   int has = dec->decode(&cx->cbf);
-  if (!has) {
+  if (!has || dec->failed()) {
     std::memset(levels, 0, sizeof(int32_t) * ncoef);
     return;
   }
   for (int32_t p = 0; p < ncoef; ++p) {
+    if (dec->failed()) {
+      levels[p] = 0;
+      continue;
+    }
     int sig = dec->decode(&cx->sig[p < 31 ? p : 31]);
     if (!sig) {
       levels[p] = 0;
@@ -301,6 +326,86 @@ void decode_block(RangeDecoder* dec, ResidualContexts* cx, int32_t* levels,
     }
     levels[p] = dec->decode_bypass() ? -static_cast<int32_t>(a)
                                      : static_cast<int32_t>(a);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Payload integrity: FNV-1a over the level array, appended LE after the
+// range-coded bytes.  The range coder itself cannot detect corruption
+// (any byte string decodes to SOME level sequence); the checksum turns
+// silent mis-decodes into hard failures.
+// ---------------------------------------------------------------------------
+
+uint32_t fnv1a(const int32_t* levels, int64_t count) {
+  uint32_t h = 2166136261u;
+  for (int64_t i = 0; i < count; ++i) {
+    uint32_t v = static_cast<uint32_t>(levels[i]);
+    for (int b = 0; b < 4; ++b) {
+      h ^= (v >> (8 * b)) & 0xffu;
+      h *= 16777619u;
+    }
+  }
+  return h;
+}
+
+// ---------------------------------------------------------------------------
+// Rate accounting: exact expected code length of the adaptive coder
+// ---------------------------------------------------------------------------
+//
+// Replays the residual syntax through the SAME context machinery as the
+// encoder, accumulating -log2(p) per context bin (bypass bins cost
+// exactly 1).  This is the arithmetic coder's code length up to carry/
+// renormalization rounding (< 0.1% on realistic payloads — asserted in
+// tests/test_rate_model.py), and feeds RD decisions with real rates
+// instead of heuristics.
+
+class RateCounter {
+ public:
+  void count(Context* ctx, int bin) {
+    double p1 = static_cast<double>(ctx->p1) / kProbMax;
+    bits_ += -std::log2(bin ? p1 : 1.0 - p1);
+    ctx->update(bin);
+  }
+  void count_bypass() { bits_ += 1.0; }
+  double take() {
+    double b = bits_;
+    bits_ = 0.0;
+    return b;
+  }
+
+ private:
+  double bits_ = 0.0;
+};
+
+int eg0_bits(uint32_t v) {
+  uint64_t x = static_cast<uint64_t>(v) + 1;
+  int len = 0;
+  for (uint64_t t = x; t > 1; t >>= 1) ++len;
+  return 2 * len + 1;
+}
+
+void count_block(RateCounter* rc, ResidualContexts* cx, const int32_t* levels,
+                 int32_t ncoef) {
+  int has = 0;
+  for (int32_t i = 0; i < ncoef; ++i) has |= (levels[i] != 0);
+  rc->count(&cx->cbf, has);
+  if (!has) return;
+  for (int32_t p = 0; p < ncoef; ++p) {
+    int32_t l = levels[p];
+    int sig = l != 0;
+    rc->count(&cx->sig[p < 31 ? p : 31], sig);
+    if (!sig) continue;
+    uint32_t a = l < 0 ? static_cast<uint32_t>(-(int64_t)l)
+                       : static_cast<uint32_t>(l);
+    int gt1 = a > 1;
+    rc->count(&cx->gt1, gt1);
+    if (gt1) {
+      int gt2 = a > 2;
+      rc->count(&cx->gt2, gt2);
+      if (gt2)
+        for (int i = 0; i < eg0_bits(a - 3); ++i) rc->count_bypass();
+    }
+    rc->count_bypass();  // sign
   }
 }
 
@@ -346,7 +451,8 @@ size_t wrap_nal(uint8_t nal_type, const uint8_t* payload, size_t n,
 extern "C" {
 
 // Encode nb blocks of ncoef scan-ordered levels.  Returns byte count,
-// or -1 if `cap` is too small.
+// or -1 if `cap` is too small.  The last 4 bytes are an FNV-1a
+// checksum of the level array (LE), verified by nhr_decode_levels.
 int64_t nhr_encode_levels(const int32_t* levels, int64_t nb, int32_t ncoef,
                           uint8_t* out, int64_t cap) {
   std::vector<uint8_t> buf;
@@ -357,19 +463,31 @@ int64_t nhr_encode_levels(const int32_t* levels, int64_t nb, int32_t ncoef,
     encode_block(&enc, &cx, levels + b * ncoef, ncoef);
   }
   enc.finish();
+  uint32_t h = fnv1a(levels, nb * ncoef);
+  for (int b = 0; b < 4; ++b) buf.push_back((h >> (8 * b)) & 0xffu);
   if (static_cast<int64_t>(buf.size()) > cap) return -1;
   std::memcpy(out, buf.data(), buf.size());
   return static_cast<int64_t>(buf.size());
 }
 
-// Decode nb blocks back.  Returns 0 on success.
+// Decode nb blocks back.  Returns 0 on success; nonzero on corruption:
+//   1  stream shorter than its checksum trailer (truncated)
+//   2  checksum mismatch (decoded levels differ from what was encoded)
+//   3  decoder overran the coded bytes / syntax bound (truncated or
+//      garbage input)
 int64_t nhr_decode_levels(const uint8_t* data, int64_t nbytes, int64_t nb,
                           int32_t ncoef, int32_t* out) {
-  RangeDecoder dec(data, static_cast<size_t>(nbytes));
+  if (nbytes < 4) return 1;
+  RangeDecoder dec(data, static_cast<size_t>(nbytes) - 4);
   ResidualContexts cx;
   for (int64_t b = 0; b < nb; ++b) {
     decode_block(&dec, &cx, out + b * ncoef, ncoef);
   }
+  if (dec.failed()) return 3;
+  uint32_t want = 0;
+  for (int b = 0; b < 4; ++b)
+    want |= static_cast<uint32_t>(data[nbytes - 4 + b]) << (8 * b);
+  if (fnv1a(out, nb * ncoef) != want) return 2;
   return 0;
 }
 
@@ -409,6 +527,19 @@ int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
   return static_cast<int64_t>(bw.bytes().size());
 }
 
-int32_t nhr_version() { return 10; }
+// Per-block exact rate (fractional bits) of the adaptive coder over nb
+// blocks of ncoef scan-ordered levels, context state carried across
+// blocks exactly as nhr_encode_levels carries it.
+void nhr_block_bits(const int32_t* levels, int64_t nb, int32_t ncoef,
+                    double* out_bits) {
+  RateCounter rc;
+  ResidualContexts cx;
+  for (int64_t b = 0; b < nb; ++b) {
+    count_block(&rc, &cx, levels + b * ncoef, ncoef);
+    out_bits[b] = rc.take();
+  }
+}
+
+int32_t nhr_version() { return 11; }
 
 }  // extern "C"

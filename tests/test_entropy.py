@@ -111,20 +111,51 @@ class TestBitstream:
 
 
 class TestRobustness:
-    def test_decode_garbage_bytes_no_crash(self):
-        """Random bytes must decode to SOME levels without crashing."""
+    def test_decode_garbage_bytes_detected(self):
+        """Random bytes must be REJECTED, not silently decoded."""
+        from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
         rng = np.random.default_rng(7)
         junk = rng.integers(0, 256, 200, dtype=np.uint8).tobytes()
-        out = decode_levels(junk, 10, 64)
-        assert out.shape == (10, 64)
+        with pytest.raises(CorruptBitstreamError):
+            decode_levels(junk, 10, 64)
 
-    def test_decode_truncated_stream(self):
-        """Streams cut mid-payload zero-extend instead of crashing."""
+    def test_decode_truncated_stream_detected(self):
+        """Streams cut mid-payload raise instead of zero-extending."""
+        from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
         rng = np.random.default_rng(8)
         levels = sparse_levels(rng, 20, 64)
         data = encode_levels(levels)
-        out = decode_levels(data[: len(data) // 2], 20, 64)
-        assert out.shape == (20, 64)
+        for cut in (len(data) // 2, len(data) - 1, 3, 0):
+            with pytest.raises(CorruptBitstreamError):
+                decode_levels(data[:cut], 20, 64)
+
+    def test_single_bit_flip_detected(self):
+        """Every single-bit corruption of a real payload is caught."""
+        from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
+        rng = np.random.default_rng(12)
+        levels = sparse_levels(rng, 8, 64, density=0.3)
+        data = bytearray(encode_levels(levels))
+        flips = rng.integers(0, len(data) * 8, 64)
+        for f in flips:
+            data[f // 8] ^= 1 << (f % 8)
+            try:
+                out = decode_levels(bytes(data), 8, 64)
+                # a flip may luckily decode; it must NOT silently differ
+                assert np.array_equal(out, levels), f
+            except CorruptBitstreamError:
+                pass
+            data[f // 8] ^= 1 << (f % 8)  # restore
+
+    def test_zero_filled_stream_terminates_and_raises(self):
+        """All-zero input drives the EG0 unary loop; the length cap must
+        terminate it (this hung forever before the bound)."""
+        from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
+        with pytest.raises(CorruptBitstreamError):
+            decode_levels(b"\xff" * 8 + b"\x00" * 64, 4, 64)
 
     def test_parse_bitstream_ignores_garbage_nals(self):
         from nanohevc_tpu.runtime import wrap_nal
