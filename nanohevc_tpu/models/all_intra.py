@@ -145,15 +145,26 @@ def encode_plane_full(
     scan: str = "diag",
     rdo_cbf: bool = False,
     dequant_rescale: bool = False,
+    rate_mode: str = "coder",
+    rd_lambda_scale: float = 1.0,
 ):
     """Full front-half encode of one plane.
 
     rdo_cbf enables a rate-distortion coded-block decision: a block's
     residual is dropped (all levels zeroed, recon = clipped prediction)
     when coding it is not worth its rate, i.e. when
-    SSE(skip) <= SSE(coded) + lambda(QP) * estimated_bits with the
+    SSE(skip) <= SSE(coded) + lambda(QP) * rate_bits with the
     HEVC-style lambda = 0.57 * 2^((QP-12)/3).  Off by default
-    (reference parity).
+    (reference parity).  rate_mode picks the rate source:
+    "coder" (default) uses the device rate model calibrated against
+    the shipped range coder (ops/rate.py, tracks nhr_block_bits);
+    "heuristic" keeps the reference-style sum(log2(|l|+1)) + 2*nnz
+    estimate (its quant.py:153-168) for A/B comparison.
+    rd_lambda_scale multiplies lambda — the rate-control knob: 1.0
+    optimizes fidelity-weighted cost; larger values trade PSNR for
+    bitrate (at 1.0 this codec's distortion scale puts the cbf
+    boundary far from the rate term, so scales >> 1 are where rate
+    accuracy decides).
 
     Returns dict of device arrays:
       recon  (H, W)   reconstructed plane (dropped edges copy the source,
@@ -175,17 +186,25 @@ def encode_plane_full(
     rec_res = ops.inverse_transform(deq, use_dst)
     recon_blocks = _clip(pred + rec_res, bit_depth)
 
+    packed = ops.scan_pack(levels, scan)
     if rdo_cbf:
         pred_clip = _clip(pred, bit_depth)
         d_coded = ops.residual_energy_blocks(blocks - recon_blocks)
         d_skip = ops.residual_energy_blocks(blocks - pred_clip)
-        rate = ops.estimate_bits_blocks(levels)
-        lam = 0.57 * jnp.exp2((jnp.asarray(qp, jnp.float32) - 12.0) / 3.0)
+        # rates follow the coder's scan-positional contexts -> feed the
+        # scan-packed levels, not the raster layout
+        if rate_mode == "coder":
+            rate = ops.rate_model_bits_adaptive(packed)
+        else:
+            rate = ops.estimate_bits_blocks(levels)
+        lam = rd_lambda_scale * 0.57 * jnp.exp2(
+            (jnp.asarray(qp, jnp.float32) - 12.0) / 3.0
+        )
         skip = d_skip.astype(jnp.float32) <= d_coded.astype(jnp.float32) + lam * rate
         levels = jnp.where(skip[:, None, None], 0, levels)
+        packed = jnp.where(skip[:, None], 0, packed)
         recon_blocks = jnp.where(skip[:, None, None], pred_clip, recon_blocks)
 
-    packed = ops.scan_pack(levels, scan)
     recon = ops.untile_plane(recon_blocks, h, w)
     nby, nbx = h // n, w // n
     if nby * n != h or nbx * n != w:

@@ -33,6 +33,12 @@ from nanohevc_tpu.ops.metrics import (
     count_nonzero_blocks,
 )
 from nanohevc_tpu.ops.scan import scan_pack, scan_unpack
+from nanohevc_tpu.ops.rate import (
+    RateTable,
+    calibrate_rate_table,
+    model_bits as rate_model_bits,
+    model_bits_adaptive as rate_model_bits_adaptive,
+)
 
 __all__ = [
     "tile_plane",
@@ -57,5 +63,9 @@ __all__ = [
     "estimate_bits_blocks",
     "count_nonzero_blocks",
     "scan_pack",
+    "RateTable",
+    "calibrate_rate_table",
+    "rate_model_bits",
+    "rate_model_bits_adaptive",
     "scan_unpack",
 ]
