@@ -10,13 +10,38 @@ real thing, TPU-style:
 - blocks on the same anti-diagonal (by + bx == d) have no mutual
   dependency, so the frame is processed as a lax.scan over diagonals,
   each step batch-encoding up to min(nby, nbx) blocks in parallel
-  against the evolving reconstruction (the classic wavefront);
-- per-step block coordinates are compile-time tables; invalid slots
-  use out-of-bounds scatter coordinates with mode="drop", keeping all
-  shapes static;
+  (the classic wavefront);
+- prediction needs only two 1-pixel-wide reconstruction boundaries,
+  so the scan carries compact *boundary buffers* instead of the whole
+  frame: the bottom pixel row of every block-row and the right pixel
+  column of every block-col.  Reconstructed blocks leave the loop as
+  stacked scan outputs and are scattered into the plane once at the
+  end, so the per-step state is O(m*N), not O(H*W);
+- the buffers are stored in *skewed (systolic) coordinates* - the
+  bottom-row buffer shifts block-row by's columns right by by*N, the
+  right-column buffer shifts block-col bx's rows down by bx*N.  Under
+  that skew, every slot of diagonal d reads its whole reference at the
+  SAME offset (column d*N, after a global +N+1 shift) and writes at
+  d*N+N+1, so each scan step is two contiguous dynamic slices + two
+  dynamic-update-slices plus rolls/flips along the slot axis - no
+  gather or scatter HLOs anywhere in the loop (on TPU those lower to
+  per-index serial updates and dominated the old formulation);
+- frame-edge clamp semantics (replicate the last reconstructed pixel)
+  become a conditional write of a replicated N-wide tail, applied only
+  when the plane is block-aligned on that axis (otherwise the clamped
+  region of a full recon plane is unwritten zeros, and so are the
+  buffer tails);
+- per-step block coordinates are compile-time tables; the slot axis is
+  the block-row index, so each diagonal has at most one block per
+  slot; invalid slots blend back the old buffer contents and their
+  outputs are dropped by the final scatter;
 - total padded work is (nby + nbx - 1) * min(nby, nbx) block slots,
   about 1.5x the true block count at 16:9 aspect - the price of the
-  dependency, still fully batched.
+  dependency, still fully batched;
+- frames are independent, so `jax.vmap` over a frame batch encodes k
+  frames' same-index diagonals in one step (multi-frame diagonal
+  interleaving): k times the parallel work at the same 374-step
+  dependency depth.
 
 Because prediction is causal, `decode_plane` reconstructs the frame
 pixel-exactly from (modes, levels) alone - the encoder/decoder pair
@@ -32,34 +57,95 @@ import jax.numpy as jnp
 import numpy as np
 
 from nanohevc_tpu import ops
-from nanohevc_tpu.ops.tiling import extract_refs_at
 
 
 @lru_cache(maxsize=None)
-def _diag_tables(nby: int, nbx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Static wavefront tables: (ndiag, m) block-row/col/valid arrays."""
+def _skew_tables(nby: int, nbx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static skewed-wavefront tables over the (diagonal, block-row) grid.
+
+    Slot axis = block-row by (each anti-diagonal holds at most one
+    block per block-row).  Returns (bx (ndiag, nby), valid mask,
+    clipped raster block index) as numpy arrays.
+    """
     ndiag = nby + nbx - 1
-    m = min(nby, nbx)
-    ys = np.zeros((ndiag, m), np.int32)
-    xs = np.zeros((ndiag, m), np.int32)
-    ok = np.zeros((ndiag, m), bool)
-    for d in range(ndiag):
-        k = 0
-        by = min(d, nby - 1)
-        while by >= 0 and d - by <= nbx - 1:
-            ys[d, k], xs[d, k], ok[d, k] = by, d - by, True
-            by -= 1
-            k += 1
-    return ys, xs, ok
+    by = np.arange(nby, dtype=np.int32)
+    d = np.arange(ndiag, dtype=np.int32)
+    bx = d[:, None] - by[None, :]
+    ok = (bx >= 0) & (bx < nbx)
+    bidx = np.clip(by[None, :] * nbx + bx, 0, nby * nbx - 1).astype(np.int32)
+    return bx, ok, bidx
 
 
-def _predict_slots(recon, ys, xs, n, mode_set, decision, blocks_slot,
-                   boundary=128):
-    """Refs from recon; mode decision against the source blocks."""
-    refs = extract_refs_at(recon, ys, xs, n, boundary=boundary)
-    from nanohevc_tpu.models.all_intra import decide_modes
+def _skew_buffers(nby: int, nbx: int, n: int):
+    """Zero-initialised skewed boundary buffers (bottom-rows, right-cols).
 
-    return refs, *decide_modes(blocks_slot, refs, n, mode_set, decision)
+    Skew algebra (derived in the module docstring): bottom-row buffer
+    row by holds recon row (by+1)*N-1 at skewed column real+by*N+N+1;
+    right-col buffer row bx+nby holds recon column (bx+1)*N-1 at
+    skewed row real+bx*N+N+1.  With that shift, diagonal d's reads all
+    start at offset d*N and its writes at d*N+N+1, independent of slot.
+    """
+    ndiag = nby + nbx - 1
+    width = (ndiag + 2) * n + 2
+    s_bot = jnp.zeros((nby, width), jnp.int32)
+    r_sp = jnp.zeros((ndiag + nby, width), jnp.int32)
+    return s_bot, r_sp
+
+
+def _read_refs_skewed(s_bot, r_sp, d, n, nby, boundary, bx):
+    """(nby, 4N+2) reference array for diagonal d from skewed buffers.
+
+    Same layout/semantics as ops.tiling.extract_refs_at on the full
+    recon plane: top[0] is the corner, frame-edge positions masked to
+    `boundary`, beyond-edge extensions are replicated pixels (aligned
+    planes) or zeros (unwritten recon), both already in the buffers.
+    """
+    top_rows = jax.lax.dynamic_slice(s_bot, (0, d * n), (nby, 2 * n + 1))
+    brow = jnp.full((1, 2 * n + 1), boundary, jnp.int32)
+    top = jnp.concatenate([brow, top_rows[:-1]], axis=0)  # slot by -> row by-1
+    left = jax.lax.dynamic_slice(r_sp, (d, d * n), (nby, 2 * n + 1))[::-1]
+    left = jnp.where((bx == 0)[:, None], boundary, left)
+    by = jnp.arange(nby, dtype=jnp.int32)
+    corner_edge = (by == 0) | (bx == 0)
+    top = top.at[:, 0].set(jnp.where(corner_edge, boundary, top[:, 0]))
+    left = left.at[:, 0].set(jnp.where(corner_edge, boundary, left[:, 0]))
+    return jnp.concatenate([top, left], axis=-1)
+
+
+def _write_bufs_skewed(s_bot, r_sp, rec, d, ok, bx, n, nby, nbx, rep_w, rep_h):
+    """Blend diagonal d's bottom rows / right columns into the buffers.
+
+    Valid slots write their block's bottom row / right column at skewed
+    offset d*N+N+1; the N-wide tail carries the replicated last pixel
+    for frame-edge clamp parity (only when that axis is block-aligned).
+    Invalid slots keep the old contents.
+    """
+    c0 = d * n + n + 1
+    okc = ok[:, None]
+    last_pix = rec[:, n - 1, n - 1 : n]                    # (nby, 1)
+
+    old_b = jax.lax.dynamic_slice(s_bot, (0, c0), (nby, 2 * n))
+    head = jnp.where(okc, rec[:, n - 1, :], old_b[:, :n])
+    if rep_w:
+        at_last_col = okc & (bx == nbx - 1)[:, None]
+        tail = jnp.where(at_last_col, last_pix, old_b[:, n:])
+    else:
+        tail = old_b[:, n:]
+    s_bot = jax.lax.dynamic_update_slice(
+        s_bot, jnp.concatenate([head, tail], axis=1), (0, c0)
+    )
+
+    old_slot = jax.lax.dynamic_slice(r_sp, (d + 1, c0), (nby, 2 * n))[::-1]
+    head_r = jnp.where(okc, rec[:, :, n - 1], old_slot[:, :n])
+    if rep_h:
+        by = jnp.arange(nby, dtype=jnp.int32)
+        at_last_row = okc & (by == nby - 1)[:, None]
+        tail_r = jnp.where(at_last_row, last_pix, old_slot[:, n:])
+    else:
+        tail_r = old_slot[:, n:]
+    new_r = jnp.concatenate([head_r, tail_r], axis=1)[::-1]
+    r_sp = jax.lax.dynamic_update_slice(r_sp, new_r, (d + 1, c0))
+    return s_bot, r_sp
 
 
 def _code_residual(blocks_slot, pred, qp, n, use_dst, bit_depth):
@@ -92,46 +178,88 @@ def encode_plane_closed_loop(
     use_dst: bool = False,
     bit_depth: int = 8,
     scan: str = "diag",
+    allow_fast: bool | None = None,
 ):
     """Wavefront encode of one plane with reconstruction-fed prediction.
 
     Returns {"recon" (H, W), "levels" (nb, N*N) scan-packed raster
     order, "modes" (nb,)} - the (modes, levels) pair is sufficient for
-    pixel-exact decode_plane reconstruction.
+    pixel-exact decode_plane reconstruction.  allow_fast=None auto-
+    selects the fused Pallas wavefront kernel where it applies
+    (dc_planar/energy); False forces the XLA scan (the kernel's
+    bit-exactness oracle).
     """
     h, w = plane.shape
     nby, nbx = h // n, w // n
+    ndiag = nby + nbx - 1
     src = plane.astype(jnp.int32)
     blocks = ops.tile_plane(src, n)                      # (nb, N, N)
-    ys_t, xs_t, ok_t = _diag_tables(nby, nbx)
-    ndiag, m = ys_t.shape
-    ys_t, xs_t, ok_t = map(jnp.asarray, (ys_t, xs_t, ok_t))
+    bx_t, ok_t, bidx_t = _skew_tables(nby, nbx)
+    boundary = 1 << (bit_depth - 1)
+    rep_w, rep_h = (nbx * n == w), (nby * n == h)
+    from nanohevc_tpu.models.all_intra import decide_modes
+    from nanohevc_tpu.kernels.wavefront_slab import (
+        wavefront_encode_blocks,
+        wavefront_kernel_supported,
+    )
 
-    recon0 = jnp.zeros((h, w), jnp.int32)
-    levels0 = jnp.zeros((nby * nbx, n * n), jnp.int32)
-    modes0 = jnp.zeros((nby * nbx,), jnp.int32)
+    # Pre-skew the source blocks once: (ndiag, nby, N, N).  The only
+    # gather in the whole encode; inside the loop everything is slices.
+    blocks_sk = blocks[jnp.asarray(bidx_t.reshape(-1))].reshape(
+        ndiag, nby, n, n
+    )
+    bx_j, ok_j = jnp.asarray(bx_t), jnp.asarray(ok_t)
+    d_j = jnp.arange(ndiag, dtype=jnp.int32)
 
-    def step(carry, tabs):
-        recon, levels_acc, modes_acc = carry
-        ys, xs, ok = tabs
-        bidx = ys * nbx + xs                              # (m,)
-        blocks_slot = blocks[jnp.where(ok, bidx, 0)]      # (m, N, N)
-        refs, pred, modes = _predict_slots(
-            recon, ys, xs, n, mode_set, decision, blocks_slot,
-            boundary=1 << (bit_depth - 1),
+    if allow_fast is None:
+        allow_fast = wavefront_kernel_supported(n, mode_set, decision, use_dst)
+    if allow_fast:
+        rec_all, levels_all, modes_all = wavefront_encode_blocks(
+            blocks_sk, qp, n=n, nby=nby, use_dst=use_dst,
+            bit_depth=bit_depth,
         )
-        levels, rec_blocks = _code_residual(
-            blocks_slot, pred, qp, n, use_dst, bit_depth
-        )
-        recon = _scatter_blocks(recon, rec_blocks, ys, xs, ok, n)
-        packed = ops.scan_pack(levels, scan)
-        safe = jnp.where(ok, bidx, nby * nbx)             # OOB -> drop
-        levels_acc = levels_acc.at[safe].set(packed, mode="drop")
-        modes_acc = modes_acc.at[safe].set(modes, mode="drop")
-        return (recon, levels_acc, modes_acc), None
+    else:
+        def step(carry, xs):
+            s_bot, r_sp = carry
+            d, bx, ok, blocks_slot = xs
+            refs = _read_refs_skewed(s_bot, r_sp, d, n, nby, boundary, bx)
+            pred, modes = decide_modes(
+                blocks_slot, refs, n, mode_set, decision
+            )
+            levels, rec_blocks = _code_residual(
+                blocks_slot, pred, qp, n, use_dst, bit_depth
+            )
+            s_bot, r_sp = _write_bufs_skewed(
+                s_bot, r_sp, rec_blocks, d, ok, bx, n, nby, nbx, rep_w, rep_h
+            )
+            return (s_bot, r_sp), (rec_blocks, levels, modes)
 
-    (recon, levels, modes), _ = jax.lax.scan(
-        step, (recon0, levels0, modes0), (ys_t, xs_t, ok_t)
+        _, (rec_all, levels_all, modes_all) = jax.lax.scan(
+            step, _skew_buffers(nby, nbx, n), (d_j, bx_j, ok_j, blocks_sk)
+        )
+    # scan-pack once over the stacked output (not 374 tiny permutes)
+    packed_all = ops.scan_pack(
+        levels_all.reshape(ndiag * nby, n, n), scan
+    ).reshape(ndiag, nby, n * n)
+
+    # One scatter each at the end; the loop never touches full planes.
+    flat = ndiag * nby
+    ys_flat = jnp.broadcast_to(
+        jnp.arange(nby, dtype=jnp.int32)[None, :], (ndiag, nby)
+    ).reshape(flat)
+    recon = _scatter_blocks(
+        jnp.zeros((h, w), jnp.int32),
+        rec_all.reshape(flat, n, n),
+        ys_flat, bx_j.reshape(flat), ok_j.reshape(flat), n,
+    )
+    safe = jnp.where(ok_j, jnp.asarray(bidx_t), nby * nbx).reshape(flat)
+    levels = (
+        jnp.zeros((nby * nbx, n * n), jnp.int32)
+        .at[safe].set(packed_all.reshape(flat, n * n), mode="drop")
+    )
+    modes = (
+        jnp.zeros((nby * nbx,), jnp.int32)
+        .at[safe].set(modes_all.reshape(flat), mode="drop")
     )
     out_recon = recon
     if nby * n != h or nbx * n != w:
@@ -239,23 +367,41 @@ def decode_plane(
     neighbors, add, clip.
     """
     nby, nbx = height // n, width // n
+    ndiag = nby + nbx - 1
     res_blocks = ops.inverse_transform(
         ops.dequantize(ops.scan_unpack(levels, scan), qp, n), use_dst
     )                                                     # (nb, N, N)
-    ys_t, xs_t, ok_t = _diag_tables(nby, nbx)
-    ys_t, xs_t, ok_t = map(jnp.asarray, (ys_t, xs_t, ok_t))
-    recon0 = jnp.zeros((height, width), jnp.int32)
+    bx_t, ok_t, bidx_t = _skew_tables(nby, nbx)
+    boundary = 1 << (bit_depth - 1)
+    rep_w, rep_h = (nbx * n == width), (nby * n == height)
+    from nanohevc_tpu.ops.intra import predict_by_mode_mm
 
-    def step(recon, tabs):
-        ys, xs, ok = tabs
-        bidx = ys * nbx + xs
-        safe = jnp.where(ok, bidx, 0)
-        refs = extract_refs_at(recon, ys, xs, n, boundary=1 << (bit_depth - 1))
-        from nanohevc_tpu.ops.intra import predict_by_mode_mm
+    flat_idx = jnp.asarray(bidx_t.reshape(-1))
+    res_sk = res_blocks[flat_idx].reshape(ndiag, nby, n, n)
+    modes_sk = modes[flat_idx].reshape(ndiag, nby)
+    bx_j, ok_j = jnp.asarray(bx_t), jnp.asarray(ok_t)
+    d_j = jnp.arange(ndiag, dtype=jnp.int32)
 
-        pred = predict_by_mode_mm(refs, n, modes[safe])
-        rec = jnp.clip(pred + res_blocks[safe], 0, (1 << bit_depth) - 1)
-        return _scatter_blocks(recon, rec, ys, xs, ok, n), None
+    def step(carry, xs):
+        s_bot, r_sp = carry
+        d, bx, ok, res_slot, modes_slot = xs
+        refs = _read_refs_skewed(s_bot, r_sp, d, n, nby, boundary, bx)
+        pred = predict_by_mode_mm(refs, n, modes_slot)
+        rec = jnp.clip(pred + res_slot, 0, (1 << bit_depth) - 1)
+        s_bot, r_sp = _write_bufs_skewed(
+            s_bot, r_sp, rec, d, ok, bx, n, nby, nbx, rep_w, rep_h
+        )
+        return (s_bot, r_sp), rec
 
-    recon, _ = jax.lax.scan(step, recon0, (ys_t, xs_t, ok_t))
-    return recon
+    _, rec_all = jax.lax.scan(
+        step, _skew_buffers(nby, nbx, n), (d_j, bx_j, ok_j, res_sk, modes_sk)
+    )
+    flat = ndiag * nby
+    ys_flat = jnp.broadcast_to(
+        jnp.arange(nby, dtype=jnp.int32)[None, :], (ndiag, nby)
+    ).reshape(flat)
+    return _scatter_blocks(
+        jnp.zeros((height, width), jnp.int32),
+        rec_all.reshape(flat, n, n),
+        ys_flat, bx_j.reshape(flat), ok_j.reshape(flat), n,
+    )
