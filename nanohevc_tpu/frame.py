@@ -108,56 +108,66 @@ class Frame:
 
 
 class PackedFrame:
-    """YUV420p frame over one contiguous allocation (Y | U | V views)."""
+    """YUV420p frame over one contiguous allocation (Y | U | V views).
 
-    __slots__ = ("_buffer", "y", "u", "v", "height", "width", "_y_size", "_uv_size")
+    The single backing array keeps a whole frame's planes adjacent in
+    memory — one `device_put`, one file write — while `y`/`u`/`v`
+    stay zero-copy reshaped views into it.
+    """
+
+    __slots__ = ("_store", "y", "u", "v", "height", "width")
 
     def __init__(self, height: int, width: int, dtype: np.dtype = np.int16):
         self.height = height
         self.width = width
-        self._y_size = height * width
-        uh, uw = height // 2, width // 2
-        self._uv_size = uh * uw
-        self._buffer = np.zeros(self._y_size + 2 * self._uv_size, dtype=dtype, order="C")
-        self.y = self._buffer[: self._y_size].reshape(height, width)
-        self.u = self._buffer[self._y_size : self._y_size + self._uv_size].reshape(uh, uw)
-        self.v = self._buffer[self._y_size + self._uv_size :].reshape(uh, uw)
+        luma = height * width
+        chroma = luma // 4
+        self._store = np.zeros(luma + 2 * chroma, dtype=dtype, order="C")
+        cuts = (luma, luma + chroma)
+        self.y = self._store[: cuts[0]].reshape(height, width)
+        self.u = self._store[cuts[0] : cuts[1]].reshape(height // 2, width // 2)
+        self.v = self._store[cuts[1] :].reshape(height // 2, width // 2)
 
     @classmethod
     def from_yuv420p(cls, buffer: bytes, height: int, width: int) -> "PackedFrame":
         pf = cls(height, width, dtype=np.uint8)
-        data = np.frombuffer(buffer, dtype=np.uint8)
-        np.copyto(pf._buffer, data[: len(pf._buffer)])
+        pf._store[:] = np.frombuffer(buffer, dtype=np.uint8)[: pf._store.size]
         return pf
 
     @classmethod
     def from_frame(cls, frame: Frame) -> "PackedFrame":
         pf = cls(frame.height, frame.width, dtype=frame.y.data.dtype)
-        np.copyto(pf.y, frame.y.data)
-        np.copyto(pf.u, frame.u.data)
-        np.copyto(pf.v, frame.v.data)
+        pf.y[...] = frame.y.data
+        pf.u[...] = frame.u.data
+        pf.v[...] = frame.v.data
         return pf
 
     def to_yuv420p(self) -> bytes:
-        return self._buffer.astype(np.uint8).tobytes()
+        return self._store.astype(np.uint8).tobytes()
 
     def to_frame(self) -> Frame:
         return Frame(Plane(self.y.copy()), Plane(self.u.copy()), Plane(self.v.copy()))
 
     def clear(self) -> None:
-        self._buffer.fill(0)
+        self._store.fill(0)
 
     def __repr__(self) -> str:
         return (
             f"PackedFrame(height={self.height}, width={self.width}, "
-            f"dtype={self._buffer.dtype})"
+            f"dtype={self._store.dtype})"
         )
 
 
 class FrameBufferPool:
-    """Fixed pool of pre-allocated host frames with acquire/release."""
+    """Fixed set of pre-allocated host frames with acquire/release.
 
-    __slots__ = ("_pool", "_available", "_in_use", "height", "width", "dtype")
+    Allocation happens once, up front; steady-state encoding then
+    recycles buffers instead of churning the allocator.  Same
+    fail-fast contract as the reference pool (exhaustion raises
+    RuntimeError, double-release raises ValueError).
+    """
+
+    __slots__ = ("_slots", "_free", "_live", "height", "width", "dtype")
 
     def __init__(
         self,
@@ -170,52 +180,53 @@ class FrameBufferPool:
         self.height = height
         self.width = width
         self.dtype = dtype
-        make = (
-            (lambda: PackedFrame(height, width, dtype=dtype))
-            if use_packed
-            else (lambda: Frame.zeros(height, width, dtype=dtype))
-        )
-        self._pool: List[PackedFrame | Frame] = [make() for _ in range(pool_size)]
-        self._available: List[int] = list(range(pool_size))
-        self._in_use: Set[int] = set()
+        if use_packed:
+            self._slots: List[PackedFrame | Frame] = [
+                PackedFrame(height, width, dtype=dtype) for _ in range(pool_size)
+            ]
+        else:
+            self._slots = [
+                Frame.zeros(height, width, dtype=dtype) for _ in range(pool_size)
+            ]
+        self._free: List[int] = list(range(pool_size))
+        self._live: Set[int] = set()
 
     def acquire(self, clear: bool = True) -> Tuple[int, "PackedFrame | Frame"]:
         """Take a buffer out of the pool; raises RuntimeError when empty."""
-        if not self._available:
+        if not self._free:
             raise RuntimeError(
-                f"No buffers available in pool. "
-                f"In use: {len(self._in_use)}, Total: {len(self._pool)}"
+                f"frame pool exhausted ({len(self._live)} of "
+                f"{len(self._slots)} buffers held; release one first)"
             )
-        idx = self._available.pop()
-        self._in_use.add(idx)
-        frame = self._pool[idx]
+        idx = self._free.pop()
+        self._live.add(idx)
+        frame = self._slots[idx]
         if clear:
             if isinstance(frame, PackedFrame):
                 frame.clear()
             else:
-                frame.y.data.fill(0)
-                frame.u.data.fill(0)
-                frame.v.data.fill(0)
+                for plane in (frame.y, frame.u, frame.v):
+                    plane.data.fill(0)
         return idx, frame
 
     def release(self, idx: int) -> None:
         """Return a buffer; raises ValueError on double-release."""
-        if idx not in self._in_use:
-            raise ValueError(f"Buffer {idx} is not currently in use")
-        self._in_use.remove(idx)
-        self._available.append(idx)
+        if idx not in self._live:
+            raise ValueError(f"buffer {idx} was not acquired (double release?)")
+        self._live.discard(idx)
+        self._free.append(idx)
 
     @property
     def available_count(self) -> int:
-        return len(self._available)
+        return len(self._free)
 
     @property
     def in_use_count(self) -> int:
-        return len(self._in_use)
+        return len(self._live)
 
     @property
     def pool_size(self) -> int:
-        return len(self._pool)
+        return len(self._slots)
 
     def __repr__(self) -> str:
         return (

@@ -19,9 +19,9 @@ class TestPackedFrame:
         pf.y[0, 0] = 7
         pf.u[0, 0] = 8
         pf.v[0, 0] = 9
-        assert pf._buffer[0] == 7
-        assert pf._buffer[16 * 16] == 8
-        assert pf._buffer[16 * 16 + 8 * 8] == 9
+        assert pf._store[0] == 7
+        assert pf._store[16 * 16] == 8
+        assert pf._store[16 * 16 + 8 * 8] == 9
 
     def test_yuv_roundtrip_and_from_frame(self):
         rng = np.random.default_rng(0)
@@ -37,7 +37,7 @@ class TestPackedFrame:
         pf = PackedFrame(8, 8)
         pf.y[:] = 3
         pf.clear()
-        assert not pf._buffer.any()
+        assert not pf._store.any()
 
     def test_pool_with_plain_frames(self):
         pool = FrameBufferPool(8, 8, pool_size=2, use_packed=False)
