@@ -12,6 +12,11 @@ Rows (each timed separately and gated on bit-exactness):
   4. full_yuv — 1080p 4:2:0 frame (Y 8x8 + U/V 4x4 chroma) through the
      slab kernels; gated on whole-plane equality vs the XLA path.
   5. uhd_4k — 2160x3840 luma, 8x8 dc_planar slab; 256-block oracle gate.
+  6. wavefront — 1080p closed-loop (reconstruction-fed prediction) on
+     the fused Pallas wavefront kernel, 16-frame diagonal interleave;
+     gated on whole-output equality vs the XLA scan path (itself
+     verified against the sequential per-block oracle in
+     tests/test_wavefront.py).
 
 Prints ONE JSON line; the top-level metric/value is the flagship row,
 and the full row set rides in "rows":
@@ -254,6 +259,36 @@ def run_bench() -> None:
     pct = oracle_gate(p4k, host_4k, 8, 2160, 3840)
     log(f"[4k] oracle gate: {pct:.1f}% of 256 blocks")
     add_row("4K (2160x3840) luma 8x8 dc_planar full pipeline", r4k, pct == 100.0)
+
+    # ---- Row 6: 1080p closed-loop wavefront (fused Pallas kernel) --------
+    from nanohevc_tpu.models.wavefront import (
+        encode_plane_closed_loop,
+        encode_planes_closed_loop,
+    )
+
+    frames_wf = jnp.stack([plane] * 16)
+    wf_fn = jax.jit(
+        lambda ps: encode_planes_closed_loop(ps, jnp.int32(QP), n=8)
+    )
+    wf = time_batch(
+        wf_fn, frames_wf, lambda out: int(out["recon"][0, 0, 0]),
+        H * W * 16, 8.0, "wavefront",
+    )
+    # Cross-implementation gate: the batched XLA scan vs the fused
+    # Pallas wavefront kernel (each independently oracle-pinned in
+    # tests/test_wavefront.py).
+    got = wf_fn(frames_wf)
+    want = jax.jit(
+        lambda p: encode_plane_closed_loop(
+            p, jnp.int32(QP), n=8, allow_fast=True
+        )
+    )(plane)
+    ok = (
+        device_equal(got["recon"][0], want["recon"])
+        and device_equal(got["levels"][0], want["levels"])
+        and device_equal(got["modes"][0], want["modes"])
+    )
+    add_row("1080p closed-loop wavefront (reconstruction-fed), 8x8", wf, ok)
 
     # ---- Emit -------------------------------------------------------------
     if not gates_ok:

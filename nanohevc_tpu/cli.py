@@ -97,6 +97,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             qp=args.qp,
             mode_set="all" if args.mode_search else "dc_planar",
             decision="satd" if args.mode_search else "energy",
+            dequant_rescale=args.dequant_rescale,
         )
         recon, bitstream = encode_frame_closed_loop(frame, config)
         if args.output:
@@ -136,6 +137,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             mode_set="all" if args.mode_search else "dc_planar",
             decision="satd" if args.mode_search else "energy",
             rdo_cbf=args.rdo,
+            dequant_rescale=args.dequant_rescale,
         )
         recon, info = encode_frame_full(frame, config)
         if args.output:
@@ -155,7 +157,11 @@ def cmd_encode(args: argparse.Namespace) -> None:
                 for name, p in info["planes"].items()
             }
             modes = {name: p["modes"] for name, p in info["planes"].items()}
-            bs = assemble_bitstream(args.width, args.height, args.qp, planes, modes)
+            bs = assemble_bitstream(
+                args.width, args.height, args.qp, planes, modes,
+                bit_depth=config.bit_depth, scan=config.scan,
+                dequant_rescale=config.dequant_rescale,
+            )
             with open(args.bitstream, "wb") as f:
                 f.write(bs)
             raw = args.width * args.height * 3 // 2
@@ -176,6 +182,7 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
         mode_set="all" if args.mode_search else "dc_planar",
         decision="satd" if args.mode_search else "energy",
         rdo_cbf=args.rdo,
+        dequant_rescale=args.dequant_rescale,
     )
     res = encode_sequence(
         args.input,
@@ -270,6 +277,12 @@ def main(argv: list[str] | None = None) -> None:
         help="write entropy-coded bitstream (NAL-framed) to this path "
         "(full pipeline only)",
     )
+    enc.add_argument(
+        "--dequant-rescale",
+        action="store_true",
+        help="spec-correct dequant size rescale at N>4 (better recon "
+        "gain; off = reference bit parity); carried in the PPS",
+    )
     enc.set_defaults(func=cmd_encode)
 
     seq = sub.add_parser(
@@ -286,6 +299,8 @@ def main(argv: list[str] | None = None) -> None:
     seq.add_argument("--mode-search", action="store_true")
     seq.add_argument("--rdo", action="store_true",
                      help="RD-optimized coded-block-flag decision")
+    seq.add_argument("--dequant-rescale", action="store_true",
+                     help="spec-correct dequant size rescale (PPS-carried)")
     seq.add_argument("--closed-loop", action="store_true",
                      help="reconstruction-fed wavefront encode "
                           "(stream decodable to pixels)")

@@ -7,12 +7,15 @@ iteration of one Pallas program, with the cross-step reconstruction
 state living in VMEM scratch that persists across the (sequential) TPU
 grid:
 
-- the diagonal's blocks arrive as a "diagonal slab" (N, nby*N): lane
-  c belongs to wavefront slot by = c//N (the block-row; each
-  anti-diagonal holds at most one block per block-row) with phase
-  c%N.  All the slab-pipeline lane algebra (rolls, butterfly block
-  sums, phase spreads — kernels/slab_pipeline.py) applies unchanged
-  with W = nby*N lanes;
+- the diagonal's blocks arrive as a "diagonal slab" (N, B*nby*N):
+  lane c belongs to frame f = c//(nby*N) and wavefront slot
+  by = (c//N) % nby (the block-row; each anti-diagonal holds at most
+  one block per block-row) with phase c%N.  Packing the frame batch
+  into lanes (not the grid) keeps the sequential depth at ndiag for
+  any batch — B frames' same-index diagonals per step.  All the
+  slab-pipeline lane algebra (rolls, butterfly block sums, phase
+  spreads — kernels/slab_pipeline.py) applies unchanged with
+  W = B*nby*N lanes;
 - the only state prediction needs is one bottom row and one right
   column per slot, both naturally lane-shaped:
     bot  (1, W): last diagonal's reconstructed bottom rows.  Slot by's
@@ -64,8 +67,17 @@ from nanohevc_tpu.tables import transform_matrix
 def _kernel(scal_ref, blocks_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
             rec_ref, lev_ref, modes_ref, bot_ref, rc_ref,
             *, n: int, nby: int, ndiag: int):
-    """One diagonal: (N, nby*N) blocks + VMEM state -> recon/levels/mode."""
-    d = pl.program_id(1)
+    """One diagonal: (N, B*nby*N) blocks + VMEM state -> recon/levels/mode.
+
+    The frame-batch axis is packed into LANES (frame f's slot by at
+    lanes [f*nby*n + by*n, +n)), not the grid: B frames' same-index
+    diagonals run in one step (multi-frame diagonal interleaving), so
+    the sequential grid depth stays ndiag regardless of batch.  All
+    lane algebra is n-group-local; the one cross-group op, the
+    roll-by-n feeding slot by from by-1, crosses frame boundaries only
+    into slot by == 0, which is masked to the boundary fill anyway.
+    """
+    d = pl.program_id(0)
     w_d = blocks_ref.shape[1]
     boundary = scal_ref[0, 6]
 
@@ -77,7 +89,7 @@ def _kernel(scal_ref, blocks_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
     x = blocks_ref[0:n, :]                                   # (n, W)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, w_d), 1)
     phase = lane % n
-    slot = lane // n                                         # block-row by
+    slot = (lane // n) % nby                                 # block-row by
 
     # Top reference: slot by reads slot by-1's bottom row from last step.
     top = _roll(bot_ref[0:1, :], n)
@@ -124,7 +136,7 @@ def _kernel(scal_ref, blocks_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
 @lru_cache(maxsize=None)
 def _build(n: int, nby: int, ndiag: int, batch: int, interpret: bool,
            use_dst: bool):
-    w_d = nby * n
+    w_d = batch * nby * n               # frames packed along lanes
     slab = max(n, 8)                    # Mosaic sublane minimum
     t_host = np.asarray(transform_matrix(n, use_dst=use_dst), dtype=np.int32)
     wfwd = _col_weights(t_host, w_d, n)
@@ -132,21 +144,20 @@ def _build(n: int, nby: int, ndiag: int, batch: int, interpret: bool,
 
     def slab_spec():
         return pl.BlockSpec(
-            (slab, w_d), lambda b, d: (b * ndiag + d, 0),
-            memory_space=pltpu.VMEM,
+            (slab, w_d), lambda d: (d, 0), memory_space=pltpu.VMEM,
         )
 
     call = pl.pallas_call(
         partial(_kernel, n=n, nby=nby, ndiag=ndiag),
-        grid=(batch, ndiag),
+        grid=(ndiag,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             slab_spec(),
-            pl.BlockSpec((n, n), lambda b, d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda b, d: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * n - 1, w_d), lambda b, d: (0, 0),
+            pl.BlockSpec((n, n), lambda d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda d: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * n - 1, w_d), lambda d: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * n - 1, w_d), lambda b, d: (0, 0),
+            pl.BlockSpec((2 * n - 1, w_d), lambda d: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -154,13 +165,13 @@ def _build(n: int, nby: int, ndiag: int, batch: int, interpret: bool,
             slab_spec(),
             # Mosaic needs >= 8 sublanes per block; row 0 carries the
             # decision, rows 1-7 are padding.
-            pl.BlockSpec((8, w_d), lambda b, d: (b * ndiag + d, 0),
+            pl.BlockSpec((8, w_d), lambda d: (d, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((batch * ndiag * slab, w_d), jnp.int32),
-            jax.ShapeDtypeStruct((batch * ndiag * slab, w_d), jnp.int32),
-            jax.ShapeDtypeStruct((batch * ndiag * 8, w_d), jnp.int32),
+            jax.ShapeDtypeStruct((ndiag * slab, w_d), jnp.int32),
+            jax.ShapeDtypeStruct((ndiag * slab, w_d), jnp.int32),
+            jax.ShapeDtypeStruct((ndiag * 8, w_d), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((1, w_d), jnp.int32),      # bot rows
@@ -238,29 +249,30 @@ def wavefront_encode_blocks(
     if squeeze:
         blocks_sk = blocks_sk[None]
     batch, ndiag = blocks_sk.shape[0], blocks_sk.shape[1]
-    w_d = nby * n
+    w_d = batch * nby * n
     slab = max(n, 8)
 
-    # (B, ndiag, nby, N, N) -> diagonal slabs (B*ndiag*slab, nby*N)
-    diag = blocks_sk.transpose(0, 1, 3, 2, 4).reshape(batch * ndiag, n, w_d)
+    # (B, ndiag, nby, N, N) -> diagonal slabs (ndiag*slab, B*nby*N):
+    # frames side by side in lanes, one slab row-group per diagonal.
+    diag = blocks_sk.transpose(1, 3, 0, 2, 4).reshape(ndiag, n, w_d)
     if slab != n:
         diag = jnp.concatenate(
-            [diag, jnp.zeros((batch * ndiag, slab - n, w_d), jnp.int32)],
-            axis=1,
+            [diag, jnp.zeros((ndiag, slab - n, w_d), jnp.int32)], axis=1
         )
-    diag = diag.reshape(batch * ndiag * slab, w_d)
+    diag = diag.reshape(ndiag * slab, w_d)
 
     run = _build(n, nby, ndiag, batch, interpret, use_dst)
     scal = _qp_scalars_traced(qp, n, bit_depth, dequant_rescale)
     rec, lev, modes = run(scal, diag)
 
     def unslab(a):
-        a = a.reshape(batch, ndiag, slab, nby, n)[:, :, :n]
-        a = a.transpose(0, 1, 3, 2, 4)                # (B, ndiag, nby, N, N)
+        a = a.reshape(ndiag, slab, batch, nby, n)[:, :n]
+        a = a.transpose(2, 0, 3, 1, 4)                # (B, ndiag, nby, N, N)
         return a[0] if squeeze else a
 
     # per-lane dc_wins -> one value per slot (uniform within a block)
-    dc_wins = modes.reshape(batch, ndiag, 8, nby, n)[:, :, 0, :, 0]
+    dc_wins = modes.reshape(ndiag, 8, batch, nby, n)[:, 0, :, :, 0]
+    dc_wins = dc_wins.transpose(1, 0, 2)              # (B, ndiag, nby)
     if squeeze:
         dc_wins = dc_wins[0]
     return unslab(rec), unslab(lev), dc_wins

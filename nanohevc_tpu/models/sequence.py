@@ -137,6 +137,15 @@ def encode_sequence(
         chroma_fn = make_batch_encoder(config, mesh, is_luma=False)
     qp = jnp.int32(config.qp)
 
+    from nanohevc_tpu.runtime.bitstream import _SCAN_IDX
+
+    def _params(which: int) -> bytes:
+        return entropy.write_params(
+            width, height, config.block_size, config.qp, which,
+            bit_depth=config.bit_depth, scan_idx=_SCAN_IDX[config.scan],
+            rescale_flag=int(config.dequant_rescale),
+        )
+
     sw = Stopwatch()
     psnrs: List[float] = []
     mode_flags = "r+b" if (start > 0 and os.path.exists(bitstream_path)) else "wb"
@@ -147,9 +156,9 @@ def encode_sequence(
             out.seek(valid_bytes)
         else:
             header = (
-                entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, config.block_size, config.qp, 0))
-                + entropy.wrap_nal(entropy.NAL_SPS, entropy.write_params(width, height, config.block_size, config.qp, 1))
-                + entropy.wrap_nal(entropy.NAL_PPS, entropy.write_params(width, height, config.block_size, config.qp, 2))
+                entropy.wrap_nal(entropy.NAL_VPS, _params(0))
+                + entropy.wrap_nal(entropy.NAL_SPS, _params(1))
+                + entropy.wrap_nal(entropy.NAL_PPS, _params(2))
             )
             out.write(header)
 
@@ -277,6 +286,11 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
         if nal_type in (E.NAL_SPS, E.NAL_PPS):
             params.update(parse_params(payload))
     width, height, qp = params["width"], params["height"], params["qp"]
+    from nanohevc_tpu.runtime.bitstream import _SCAN_NAME
+
+    bit_depth = 8 + params.get("bit_depth_luma_minus8", 0)
+    scan = _SCAN_NAME[params.get("scan_idx", 0)]
+    rescale = params.get("dequant_rescale", False)
 
     frames = decode_sequence_levels(bitstream_path)
     n_written = 0
@@ -297,6 +311,9 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                     height=h,
                     width=w,
                     use_dst=(name == "Y" and bs == 4),
+                    bit_depth=bit_depth,
+                    scan=scan,
+                    dequant_rescale=rescale,
                 )
                 out.write(np.asarray(plane).astype(np.uint8).tobytes())
             n_written += 1

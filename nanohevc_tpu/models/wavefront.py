@@ -60,20 +60,57 @@ from nanohevc_tpu import ops
 
 
 @lru_cache(maxsize=None)
-def _skew_tables(nby: int, nbx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _skew_tables(nby: int, nbx: int) -> tuple[np.ndarray, np.ndarray]:
     """Static skewed-wavefront tables over the (diagonal, block-row) grid.
 
     Slot axis = block-row by (each anti-diagonal holds at most one
-    block per block-row).  Returns (bx (ndiag, nby), valid mask,
-    clipped raster block index) as numpy arrays.
+    block per block-row).  Returns (bx (ndiag, nby), valid mask) as
+    numpy arrays.
     """
     ndiag = nby + nbx - 1
     by = np.arange(nby, dtype=np.int32)
     d = np.arange(ndiag, dtype=np.int32)
     bx = d[:, None] - by[None, :]
     ok = (bx >= 0) & (bx < nbx)
-    bidx = np.clip(by[None, :] * nbx + bx, 0, nby * nbx - 1).astype(np.int32)
-    return bx, ok, bidx
+    return bx, ok
+
+
+def _skew_blocks(raster: jnp.ndarray, nby: int, nbx: int) -> jnp.ndarray:
+    """Raster blocks (B, nby*nbx, ...) -> skewed (B, ndiag, nby, ...).
+
+    skewed[d, by] = raster[by, d - by].  Because d - by is a shear, the
+    whole permutation is one pad + reshape: flattening the padded
+    (nby, ndiag+1) layout gives flat[by*(ndiag+1) + bx] =
+    flat2[by*ndiag + (by + bx)], i.e. exactly the (by, d) grid.  No
+    gather HLO anywhere (TPU lowers big gathers to serial updates).
+    Invalid (d, by) slots hold neighboring rows' data - callers must
+    treat them as garbage (the wavefront drops them on deskew).
+    """
+    b, nb = raster.shape[:2]
+    rest = raster.shape[2:]
+    ndiag = nby + nbx - 1
+    x = raster.reshape(b, nby, nbx, *rest)
+    pad = [(0, 0), (0, 0), (0, ndiag + 1 - nbx)] + [(0, 0)] * len(rest)
+    x = jnp.pad(x, pad).reshape(b, nby * (ndiag + 1), *rest)
+    x = x[:, : nby * ndiag].reshape(b, nby, ndiag, *rest)
+    axes = (0, 2, 1) + tuple(range(3, 3 + len(rest)))
+    return x.transpose(axes)
+
+
+def _deskew_blocks(skewed: jnp.ndarray, nby: int, nbx: int) -> jnp.ndarray:
+    """Skewed (B, ndiag, nby, ...) -> raster (B, nby*nbx, ...).
+
+    Inverse shear of _skew_blocks, again one pad + reshape:
+    raster[by, bx] = skewed[by + bx, by].  Garbage in invalid slots is
+    never read.
+    """
+    b, ndiag, nby_ = skewed.shape[:3]
+    rest = skewed.shape[3:]
+    axes = (0, 2, 1) + tuple(range(3, 3 + len(rest)))
+    x = skewed.transpose(axes).reshape(b, nby * ndiag, *rest)
+    pad = [(0, 0), (0, nby)] + [(0, 0)] * len(rest)
+    x = jnp.pad(x, pad).reshape(b, nby, ndiag + 1, *rest)
+    return x[:, :, :nbx].reshape(b, nby * nbx, *rest)
 
 
 def _skew_buffers(nby: int, nbx: int, n: int):
@@ -148,28 +185,19 @@ def _write_bufs_skewed(s_bot, r_sp, rec, d, ok, bx, n, nby, nbx, rep_w, rep_h):
     return s_bot, r_sp
 
 
-def _code_residual(blocks_slot, pred, qp, n, use_dst, bit_depth):
+def _code_residual(blocks_slot, pred, qp, n, use_dst, bit_depth,
+                   dequant_rescale):
     res = blocks_slot - pred
     coeff = ops.forward_transform(res, use_dst)
     levels = ops.quantize(coeff, qp, n, True)
-    deq = ops.dequantize(levels, qp, n)
+    deq = ops.dequantize(levels, qp, n, rescale=dequant_rescale)
     rec = ops.inverse_transform(deq, use_dst)
     recon = jnp.clip(pred + rec, 0, (1 << bit_depth) - 1)
     return levels, recon
 
 
-def _scatter_blocks(plane, vals, ys, xs, ok, n):
-    """Write (m, N, N) blocks at block coords; invalid slots dropped."""
-    h, w = plane.shape
-    yy = ys[:, None, None] * n + jnp.arange(n)[None, :, None]
-    xx = xs[:, None, None] * n + jnp.arange(n)[None, None, :]
-    # invalid slots -> out-of-bounds rows, dropped by scatter mode
-    yy = jnp.where(ok[:, None, None], yy, h)
-    return plane.at[yy, xx].set(vals, mode="drop")
-
-
-def encode_plane_closed_loop(
-    plane: jnp.ndarray,
+def encode_planes_closed_loop(
+    planes: jnp.ndarray,
     qp,
     *,
     n: int,
@@ -178,23 +206,25 @@ def encode_plane_closed_loop(
     use_dst: bool = False,
     bit_depth: int = 8,
     scan: str = "diag",
+    dequant_rescale: bool = False,
     allow_fast: bool | None = None,
 ):
-    """Wavefront encode of one plane with reconstruction-fed prediction.
+    """Batched wavefront encode: (B, H, W) planes, reconstruction-fed.
 
-    Returns {"recon" (H, W), "levels" (nb, N*N) scan-packed raster
-    order, "modes" (nb,)} - the (modes, levels) pair is sufficient for
-    pixel-exact decode_plane reconstruction.  allow_fast=None auto-
-    selects the fused Pallas wavefront kernel where it applies
-    (dc_planar/energy); False forces the XLA scan (the kernel's
-    bit-exactness oracle).
+    Returns {"recon" (B, H, W), "levels" (B, nb, N*N) scan-packed
+    raster order, "modes" (B, nb)}.  Frames are independent, so the
+    batch axis rides the Pallas kernel's grid (or `vmap` on the XLA
+    path) - multi-frame diagonal interleaving: B frames' same-index
+    diagonals per sequential step.  allow_fast=None auto-selects the
+    fused kernel where it applies (dc_planar/energy); False forces the
+    XLA scan (the kernel's bit-exactness oracle).
     """
-    h, w = plane.shape
+    b, h, w = planes.shape
     nby, nbx = h // n, w // n
     ndiag = nby + nbx - 1
-    src = plane.astype(jnp.int32)
-    blocks = ops.tile_plane(src, n)                      # (nb, N, N)
-    bx_t, ok_t, bidx_t = _skew_tables(nby, nbx)
+    src = planes.astype(jnp.int32)
+    blocks = jax.vmap(lambda p: ops.tile_plane(p, n))(src)   # (B, nb, N, N)
+    bx_t, ok_t = _skew_tables(nby, nbx)
     boundary = 1 << (bit_depth - 1)
     rep_w, rep_h = (nbx * n == w), (nby * n == h)
     from nanohevc_tpu.models.all_intra import decide_modes
@@ -203,20 +233,24 @@ def encode_plane_closed_loop(
         wavefront_kernel_supported,
     )
 
-    # Pre-skew the source blocks once: (ndiag, nby, N, N).  The only
-    # gather in the whole encode; inside the loop everything is slices.
-    blocks_sk = blocks[jnp.asarray(bidx_t.reshape(-1))].reshape(
-        ndiag, nby, n, n
-    )
+    # Pre-skew the source blocks once: (B, ndiag, nby, N, N).  Pure
+    # pad+reshape (no gather HLO); inside the loop everything is slices.
+    blocks_sk = _skew_blocks(blocks, nby, nbx)
     bx_j, ok_j = jnp.asarray(bx_t), jnp.asarray(ok_t)
     d_j = jnp.arange(ndiag, dtype=jnp.int32)
 
+    # The fused kernel minimizes per-step latency and wins single-frame;
+    # at batch >= 2 the vmapped XLA scan overtakes it (MXU einsum
+    # transforms amortize across the widened diagonal), so auto-select
+    # by batch.  Both paths are bit-exact to the sequential oracle.
     if allow_fast is None:
-        allow_fast = wavefront_kernel_supported(n, mode_set, decision, use_dst)
+        allow_fast = b == 1 and wavefront_kernel_supported(
+            n, mode_set, decision, use_dst
+        )
     if allow_fast:
         rec_all, levels_all, modes_all = wavefront_encode_blocks(
             blocks_sk, qp, n=n, nby=nby, use_dst=use_dst,
-            bit_depth=bit_depth,
+            bit_depth=bit_depth, dequant_rescale=dequant_rescale,
         )
     else:
         def step(carry, xs):
@@ -227,45 +261,47 @@ def encode_plane_closed_loop(
                 blocks_slot, refs, n, mode_set, decision
             )
             levels, rec_blocks = _code_residual(
-                blocks_slot, pred, qp, n, use_dst, bit_depth
+                blocks_slot, pred, qp, n, use_dst, bit_depth, dequant_rescale
             )
             s_bot, r_sp = _write_bufs_skewed(
                 s_bot, r_sp, rec_blocks, d, ok, bx, n, nby, nbx, rep_w, rep_h
             )
             return (s_bot, r_sp), (rec_blocks, levels, modes)
 
-        _, (rec_all, levels_all, modes_all) = jax.lax.scan(
-            step, _skew_buffers(nby, nbx, n), (d_j, bx_j, ok_j, blocks_sk)
-        )
-    # scan-pack once over the stacked output (not 374 tiny permutes)
-    packed_all = ops.scan_pack(
-        levels_all.reshape(ndiag * nby, n, n), scan
-    ).reshape(ndiag, nby, n * n)
+        def one_frame(frame_sk):
+            _, outs = jax.lax.scan(
+                step, _skew_buffers(nby, nbx, n), (d_j, bx_j, ok_j, frame_sk)
+            )
+            return outs
 
-    # One scatter each at the end; the loop never touches full planes.
-    flat = ndiag * nby
-    ys_flat = jnp.broadcast_to(
-        jnp.arange(nby, dtype=jnp.int32)[None, :], (ndiag, nby)
-    ).reshape(flat)
-    recon = _scatter_blocks(
-        jnp.zeros((h, w), jnp.int32),
-        rec_all.reshape(flat, n, n),
-        ys_flat, bx_j.reshape(flat), ok_j.reshape(flat), n,
-    )
-    safe = jnp.where(ok_j, jnp.asarray(bidx_t), nby * nbx).reshape(flat)
-    levels = (
-        jnp.zeros((nby * nbx, n * n), jnp.int32)
-        .at[safe].set(packed_all.reshape(flat, n * n), mode="drop")
-    )
-    modes = (
-        jnp.zeros((nby * nbx,), jnp.int32)
-        .at[safe].set(modes_all.reshape(flat), mode="drop")
-    )
+        rec_all, levels_all, modes_all = jax.vmap(one_frame)(blocks_sk)
+
+    # Deskew back to raster block order (pure pad+reshape - the old
+    # 50k-index scatter lowered to serial updates and cost 20+ ms per
+    # frame), then untile/pack over the whole batch at once.
+    rec_raster = _deskew_blocks(rec_all, nby, nbx)        # (B, nb, N, N)
+    recon = jax.vmap(lambda rc: ops.untile_plane(rc, h, w))(rec_raster)
+    lev_raster = _deskew_blocks(levels_all, nby, nbx)
+    levels = ops.scan_pack(
+        lev_raster.reshape(b * nby * nbx, n, n), scan
+    ).reshape(b, nby * nbx, n * n)
+    modes = _deskew_blocks(modes_all, nby, nbx)           # (B, nb)
     out_recon = recon
     if nby * n != h or nbx * n != w:
         mask = jnp.zeros((h, w), bool).at[: nby * n, : nbx * n].set(True)
-        out_recon = jnp.where(mask, recon, src)
+        out_recon = jnp.where(mask[None], recon, src)
     return {"recon": out_recon, "levels": levels, "modes": modes}
+
+
+def encode_plane_closed_loop(plane: jnp.ndarray, qp, **kwargs):
+    """Single-plane wavefront encode; see encode_planes_closed_loop.
+
+    Returns {"recon" (H, W), "levels" (nb, N*N) scan-packed raster
+    order, "modes" (nb,)} - the (modes, levels) pair is sufficient for
+    pixel-exact decode_plane reconstruction.
+    """
+    out = encode_planes_closed_loop(plane[None], qp, **kwargs)
+    return {k: v[0] for k, v in out.items()}
 
 
 def encode_frame_closed_loop(frame, config) -> tuple:
@@ -298,12 +334,15 @@ def encode_frame_closed_loop(frame, config) -> tuple:
             use_dst=config.use_dst(bs, is_luma),
             bit_depth=config.bit_depth,
             scan=config.scan,
+            dequant_rescale=config.dequant_rescale,
         )
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)
         plane_levels[name] = (np.asarray(out["levels"]), bs)
         plane_modes[name] = np.asarray(out["modes"])
     bitstream = assemble_bitstream(
-        frame.width, frame.height, config.qp, plane_levels, plane_modes
+        frame.width, frame.height, config.qp, plane_levels, plane_modes,
+        bit_depth=config.bit_depth, scan=config.scan,
+        dequant_rescale=config.dequant_rescale,
     )
     return recon, bitstream
 
@@ -311,20 +350,24 @@ def encode_frame_closed_loop(frame, config) -> tuple:
 def decode_frame(bitstream: bytes):
     """Pixel-exact decode of a closed-loop frame bitstream -> Frame.
 
-    Self-contained: geometry and QP come from the SPS/PPS in the
-    stream.  The per-plane block size is carried by each slice header.
-    Regions not covered by full blocks decode as 0 (the encoder keeps
-    source pixels there but they are never coded); use block-aligned
+    Self-contained: geometry, QP, bit depth, scan order and the
+    dequant-rescale flag all come from the SPS/PPS in the stream.  The
+    per-plane block size is carried by each slice header.  Regions not
+    covered by full blocks decode as 0 (the encoder keeps source
+    pixels there but they are never coded); use block-aligned
     dimensions for full-frame fidelity.
     """
     import numpy as np
 
     from nanohevc_tpu.frame import Frame
-    from nanohevc_tpu.runtime.bitstream import parse_bitstream
+    from nanohevc_tpu.runtime.bitstream import _SCAN_NAME, parse_bitstream
 
     parsed = parse_bitstream(bitstream)
     params = parsed.get("params", {})
     width, height, qp = params["width"], params["height"], params["qp"]
+    bit_depth = 8 + params.get("bit_depth_luma_minus8", 0)
+    scan = _SCAN_NAME[params.get("scan_idx", 0)]
+    rescale = params.get("dequant_rescale", False)
     recon = Frame.zeros(height, width, dtype=np.int16)
     for name, dst, (h, w) in (
         ("Y", recon.y, (height, width)),
@@ -342,6 +385,9 @@ def decode_frame(bitstream: bytes):
             height=h,
             width=w,
             use_dst=use_dst,
+            bit_depth=bit_depth,
+            scan=scan,
+            dequant_rescale=rescale,
         )
         dst.data[...] = np.asarray(plane).astype(np.int16)
     return recon
@@ -358,6 +404,7 @@ def decode_plane(
     use_dst: bool = False,
     bit_depth: int = 8,
     scan: str = "diag",
+    dequant_rescale: bool = False,
 ) -> jnp.ndarray:
     """Pixel-exact decoder for closed-loop streams.
 
@@ -369,16 +416,18 @@ def decode_plane(
     nby, nbx = height // n, width // n
     ndiag = nby + nbx - 1
     res_blocks = ops.inverse_transform(
-        ops.dequantize(ops.scan_unpack(levels, scan), qp, n), use_dst
+        ops.dequantize(
+            ops.scan_unpack(levels, scan), qp, n, rescale=dequant_rescale
+        ),
+        use_dst,
     )                                                     # (nb, N, N)
-    bx_t, ok_t, bidx_t = _skew_tables(nby, nbx)
+    bx_t, ok_t = _skew_tables(nby, nbx)
     boundary = 1 << (bit_depth - 1)
     rep_w, rep_h = (nbx * n == width), (nby * n == height)
     from nanohevc_tpu.ops.intra import predict_by_mode_mm
 
-    flat_idx = jnp.asarray(bidx_t.reshape(-1))
-    res_sk = res_blocks[flat_idx].reshape(ndiag, nby, n, n)
-    modes_sk = modes[flat_idx].reshape(ndiag, nby)
+    res_sk = _skew_blocks(res_blocks[None], nby, nbx)[0]
+    modes_sk = _skew_blocks(modes[None], nby, nbx)[0]
     bx_j, ok_j = jnp.asarray(bx_t), jnp.asarray(ok_t)
     d_j = jnp.arange(ndiag, dtype=jnp.int32)
 
@@ -396,12 +445,5 @@ def decode_plane(
     _, rec_all = jax.lax.scan(
         step, _skew_buffers(nby, nbx, n), (d_j, bx_j, ok_j, res_sk, modes_sk)
     )
-    flat = ndiag * nby
-    ys_flat = jnp.broadcast_to(
-        jnp.arange(nby, dtype=jnp.int32)[None, :], (ndiag, nby)
-    ).reshape(flat)
-    return _scatter_blocks(
-        jnp.zeros((height, width), jnp.int32),
-        rec_all.reshape(flat, n, n),
-        ys_flat, bx_j.reshape(flat), ok_j.reshape(flat), n,
-    )
+    rec_raster = _deskew_blocks(rec_all[None], nby, nbx)[0]
+    return ops.untile_plane(rec_raster, height, width)

@@ -152,6 +152,58 @@ def make_batch_encoder(
     return dispatch
 
 
+def make_closed_loop_encoder(
+    config: EncoderConfig,
+    mesh: Mesh | None = None,
+    is_luma: bool = True,
+    donate: bool = False,
+) -> Callable:
+    """Compile a sharded multi-frame CLOSED-LOOP (wavefront) encoder.
+
+    Returns fn(planes (F, H, W) int32, qp scalar) -> dict with batched
+    recon/levels/modes plus per-frame and mean PSNR.  Closed-loop
+    frames are independent of each other, so the batch shards over the
+    'frame' axis with zero communication (the wavefront dependency is
+    *within* a frame); rows are replicated — the diagonal recurrence
+    cannot split spatially.  The XLA scan path is used under jit so the
+    SPMD partitioner sees only plain HLO (per-shard batches are > 1
+    anyway, where that path wins — see models/wavefront.py).
+    """
+    from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
+
+    n = config.block_size if is_luma else config.chroma_block_size()
+
+    def step(planes, qp):
+        out = encode_planes_closed_loop(
+            planes.astype(jnp.int32),
+            qp,
+            n=n,
+            mode_set=config.mode_set,
+            decision=config.decision,
+            use_dst=config.use_dst(n, is_luma),
+            bit_depth=config.bit_depth,
+            scan=config.scan,
+            dequant_rescale=config.dequant_rescale,
+            allow_fast=False,
+        )
+        frame_psnr = jax.vmap(psnr)(planes.astype(jnp.int32), out["recon"])
+        out["psnr"] = frame_psnr
+        out["mean_psnr"] = jnp.mean(frame_psnr)
+        return out
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    in_shardings = (
+        NamedSharding(mesh, P("frame", None, None)),
+        NamedSharding(mesh, P()),
+    )
+    return jax.jit(
+        step,
+        in_shardings=in_shardings,
+        donate_argnums=(0,) if donate else (),
+    )
+
+
 def encode_batch_sharded(
     planes,
     qp: int,

@@ -28,24 +28,38 @@ import numpy as np
 from nanohevc_tpu.runtime import entropy
 
 
+_SCAN_IDX = {"diag": 0, "horizontal": 1, "vertical": 2}
+_SCAN_NAME = {v: k for k, v in _SCAN_IDX.items()}
+
+
 def assemble_bitstream(
     width: int,
     height: int,
     qp: int,
     plane_levels: Dict[str, Tuple[np.ndarray, int]],
     plane_modes: Optional[Dict[str, np.ndarray]] = None,
+    bit_depth: int = 8,
+    scan: str = "diag",
+    dequant_rescale: bool = False,
 ) -> bytes:
     """Build a full frame bitstream.
 
     plane_levels maps plane name ("Y"/"U"/"V") to (levels (nb, ncoef)
     int32 scan-ordered, block_size); plane_modes optionally maps the
-    same names to (nb,) int32 intra-mode indices.
+    same names to (nb,) int32 intra-mode indices.  bit_depth rides the
+    SPS, scan order and the dequant-rescale flag ride the PPS, so the
+    stream decodes without out-of-band config.
     """
     first = next(iter(plane_levels.values()))
+    pk = dict(
+        bit_depth=bit_depth,
+        scan_idx=_SCAN_IDX[scan],
+        rescale_flag=int(dequant_rescale),
+    )
     out = [
-        entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, first[1], qp, 0)),
-        entropy.wrap_nal(entropy.NAL_SPS, entropy.write_params(width, height, first[1], qp, 1)),
-        entropy.wrap_nal(entropy.NAL_PPS, entropy.write_params(width, height, first[1], qp, 2)),
+        entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, first[1], qp, 0, **pk)),
+        entropy.wrap_nal(entropy.NAL_SPS, entropy.write_params(width, height, first[1], qp, 1, **pk)),
+        entropy.wrap_nal(entropy.NAL_PPS, entropy.write_params(width, height, first[1], qp, 2, **pk)),
     ]
     plane_ids = {"Y": 0, "U": 1, "V": 2}
     for name, (levels, block_size) in plane_levels.items():
@@ -155,7 +169,12 @@ def parse_params(payload: bytes) -> dict:
             "chroma_format_idc": r.ue(),
             "bit_depth_luma_minus8": r.ue(),
         }
-    return {"type": "pps", "qp": r.ue(), "scan_idx": r.ue()}
+    return {
+        "type": "pps",
+        "qp": r.ue(),
+        "scan_idx": r.ue(),
+        "dequant_rescale": bool(r.ue()),
+    }
 
 
 def parse_bitstream(data: bytes) -> Dict[str, dict]:

@@ -58,6 +58,9 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_uint8,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
@@ -151,10 +154,29 @@ def wrap_nal(nal_type: int, payload: bytes) -> bytes:
     return out[:n].tobytes()
 
 
-def write_params(width: int, height: int, block_size: int, qp: int, which: int) -> bytes:
-    """Parameter-set RBSP payload (0=VPS, 1=SPS, 2=PPS)."""
+def write_params(
+    width: int,
+    height: int,
+    block_size: int,
+    qp: int,
+    which: int,
+    bit_depth: int = 8,
+    scan_idx: int = 0,
+    rescale_flag: int = 0,
+) -> bytes:
+    """Parameter-set RBSP payload (0=VPS, 1=SPS, 2=PPS).
+
+    SPS carries bit_depth_luma_minus8; PPS carries the scan index
+    (0=diag, 1=horizontal, 2=vertical) and the spec-gain dequant
+    rescale flag — everything a decoder needs beyond the per-slice
+    headers, so closed-loop streams stay self-contained for
+    non-default configs.
+    """
     out = np.empty(256, dtype=np.uint8)
-    n = _lib().nhr_write_params(width, height, block_size, qp, which, _u8ptr(out), 256)
+    n = _lib().nhr_write_params(
+        width, height, block_size, qp, which,
+        bit_depth, scan_idx, rescale_flag, _u8ptr(out), 256,
+    )
     if n == 0:
         raise RuntimeError("params overflow")
     return out[:n].tobytes()

@@ -503,8 +503,9 @@ int64_t nhr_wrap_nal(uint8_t nal_type, const uint8_t* payload, int64_t n,
 // Minimal parameter-set RBSP (framework-defined fields, spec-style
 // exp-Golomb coding).  which: 0=VPS, 1=SPS, 2=PPS.  Returns byte count.
 int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
-                         int32_t qp, uint8_t which, uint8_t* out,
-                         int64_t cap) {
+                         int32_t qp, uint8_t which, int32_t bit_depth,
+                         int32_t scan_idx, int32_t rescale_flag,
+                         uint8_t* out, int64_t cap) {
   BitWriter bw;
   bw.put_bits(0x4e48u, 16);  // "NH" magic
   bw.put_bits(which, 8);
@@ -516,10 +517,11 @@ int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
     bw.put_ue(static_cast<uint32_t>(height));
     bw.put_ue(static_cast<uint32_t>(block_size));
     bw.put_ue(1);            // chroma_format_idc: 4:2:0
-    bw.put_ue(0);            // bit_depth_luma_minus8
+    bw.put_ue(static_cast<uint32_t>(bit_depth - 8));  // bit_depth_luma_minus8
   } else {                   // PPS: coding params
     bw.put_ue(static_cast<uint32_t>(qp));
-    bw.put_ue(0);            // scan_idx: diag
+    bw.put_ue(static_cast<uint32_t>(scan_idx));  // 0=diag 1=horiz 2=vert
+    bw.put_ue(static_cast<uint32_t>(rescale_flag));  // spec-gain dequant
   }
   bw.rbsp_trailing();
   if (static_cast<int64_t>(bw.bytes().size()) > cap) return 0;
@@ -540,6 +542,6 @@ void nhr_block_bits(const int32_t* levels, int64_t nb, int32_t ncoef,
   }
 }
 
-int32_t nhr_version() { return 11; }
+int32_t nhr_version() { return 12; }
 
 }  // extern "C"

@@ -62,6 +62,29 @@ class TestShardedEncode:
         assert np.isfinite(per_frame).all()
         assert abs(float(out["mean_psnr"]) - per_frame.mean()) < 1e-3
 
+    @needs_8
+    def test_sharded_closed_loop_matches_single_device(self):
+        """Frame-sharded wavefront encode == per-frame closed loop."""
+        from nanohevc_tpu.models.wavefront import encode_plane_closed_loop
+        from nanohevc_tpu.parallel import make_closed_loop_encoder
+
+        mesh = make_mesh(space=1)
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 256, (8, 32, 48)).astype(np.int32)
+        config = EncoderConfig(block_size=8, qp=24)
+        fn = make_closed_loop_encoder(config, mesh)
+        sharding = NamedSharding(mesh, P("frame", None, None))
+        planes = jax.device_put(jnp.asarray(frames), sharding)
+        out = fn(planes, jnp.int32(24))
+        for f in range(8):
+            single = encode_plane_closed_loop(
+                jnp.asarray(frames[f]), jnp.int32(24), n=8
+            )
+            for k in ("recon", "levels", "modes"):
+                assert np.array_equal(
+                    np.asarray(out[k][f]), np.asarray(single[k])
+                ), (k, f)
+
     def test_unsharded_encoder_works(self):
         fn = make_batch_encoder(EncoderConfig(block_size=8, qp=22))
         rng = np.random.default_rng(2)

@@ -79,6 +79,49 @@ class TestClosedLoopEncode:
         )
 
 
+class TestFusedKernelParity:
+    """The Pallas wavefront kernel vs the XLA scan, bit-for-bit."""
+
+    def _check(self, n, h, w, **kw):
+        rng = np.random.default_rng(5)
+        hi = 1 << kw.get("bit_depth", 8)
+        plane = jnp.asarray(rng.integers(0, hi, (h, w)).astype(np.int32))
+        fast = encode_plane_closed_loop(
+            plane, jnp.int32(24), n=n, allow_fast=True, **kw
+        )
+        slow = encode_plane_closed_loop(
+            plane, jnp.int32(24), n=n, allow_fast=False, **kw
+        )
+        for k in ("recon", "levels", "modes"):
+            assert np.array_equal(np.asarray(fast[k]), np.asarray(slow[k])), k
+
+    @pytest.mark.parametrize("n", [4, 8, 16, 32])
+    def test_sizes(self, n):
+        self._check(n, 3 * n, 4 * n)
+
+    def test_dst_4x4(self):
+        self._check(4, 16, 24, use_dst=True)
+
+    def test_10bit(self):
+        self._check(8, 24, 32, bit_depth=10)
+
+    def test_dequant_rescale(self):
+        self._check(8, 24, 32, dequant_rescale=True)
+
+    def test_batched_matches_per_frame(self):
+        from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
+
+        rng = np.random.default_rng(6)
+        planes = jnp.asarray(rng.integers(0, 256, (3, 24, 40)).astype(np.int32))
+        batched = encode_planes_closed_loop(planes, jnp.int32(22), n=8)
+        for i in range(3):
+            one = encode_plane_closed_loop(planes[i], jnp.int32(22), n=8)
+            for k in ("recon", "levels", "modes"):
+                assert np.array_equal(
+                    np.asarray(batched[k][i]), np.asarray(one[k])
+                ), (k, i)
+
+
 class TestDecoder:
     @pytest.mark.parametrize("n", [4, 8])
     @pytest.mark.parametrize("qp", [10, 30, 50])
@@ -115,6 +158,50 @@ class TestDecoder:
             width=w,
         )
         assert np.array_equal(np.asarray(dec), np.asarray(enc["recon"]))
+
+    def test_decode_nondefault_config_through_bitstream(self):
+        """The SPS/PPS carry bit depth, scan and the rescale flag, so a
+        stream with a non-default config decodes with NO out-of-band
+        knowledge (10-bit + horizontal scan + spec-gain dequant)."""
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.frame import Frame
+        from nanohevc_tpu.models.wavefront import (
+            decode_frame,
+            encode_frame_closed_loop,
+        )
+
+        rng = np.random.default_rng(8)
+        h, w = 32, 32
+        frame = Frame.zeros(h, w, dtype=np.int16)
+        frame.y.data[...] = rng.integers(0, 1024, (h, w))
+        frame.u.data[...] = rng.integers(0, 1024, (h // 2, w // 2))
+        frame.v.data[...] = rng.integers(0, 1024, (h // 2, w // 2))
+        config = EncoderConfig(
+            block_size=8, qp=26, bit_depth=10, scan="horizontal",
+            dequant_rescale=True,
+        )
+        recon, bs = encode_frame_closed_loop(frame, config)
+        decoded = decode_frame(bs)
+        for p in ("y", "u", "v"):
+            assert np.array_equal(
+                getattr(decoded, p).data, getattr(recon, p).data
+            ), p
+
+    def test_pps_fields_roundtrip(self):
+        from nanohevc_tpu.runtime.bitstream import (
+            assemble_bitstream,
+            parse_bitstream,
+        )
+
+        levels = np.zeros((4, 16), np.int32)
+        bs = assemble_bitstream(
+            16, 16, 30, {"Y": (levels, 4)}, bit_depth=10,
+            scan="vertical", dequant_rescale=True,
+        )
+        params = parse_bitstream(bs)["params"]
+        assert params["bit_depth_luma_minus8"] == 2
+        assert params["scan_idx"] == 2
+        assert params["dequant_rescale"] is True
 
     def test_mode_search_closed_loop_roundtrip(self):
         rng = np.random.default_rng(4)
