@@ -99,15 +99,17 @@ def encode_sequence(
     if closed_loop:
         import jax
 
-        from nanohevc_tpu.models.wavefront import encode_plane_closed_loop
+        from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
         from nanohevc_tpu.ops.metrics import psnr as _psnr
 
         def make_cl_fn(is_luma):
             n = config.block_size if is_luma else config.chroma_block_size()
 
-            def one(plane, qp):
-                out = encode_plane_closed_loop(
-                    plane,
+            def run(planes, qp):
+                # Natively batched: the frames interleave their same-
+                # index diagonals (see models/wavefront.py).
+                out = encode_planes_closed_loop(
+                    planes,
                     qp,
                     n=n,
                     mode_set=config.mode_set,
@@ -115,11 +117,12 @@ def encode_sequence(
                     use_dst=config.use_dst(n, is_luma),
                     bit_depth=config.bit_depth,
                     scan=config.scan,
+                    dequant_rescale=config.dequant_rescale,
                 )
-                out["psnr"] = _psnr(plane, out["recon"])
+                out["psnr"] = jax.vmap(_psnr)(planes, out["recon"])
                 return out
 
-            return jax.jit(jax.vmap(one, in_axes=(0, None)))
+            return jax.jit(run)
 
         luma_fn = make_cl_fn(True)
         chroma_fn = make_cl_fn(False)

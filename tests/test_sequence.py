@@ -122,6 +122,39 @@ class TestClosedLoopSequence:
             ).reshape(32, 32)
             assert np.array_equal(got_y, np.asarray(enc["recon"]).astype(np.uint8)), f
 
+    def test_sequence_dequant_rescale_decodes_exact(self, tmp_path):
+        """Regression: the encoder once dropped config.dequant_rescale on
+        the closed-loop sequence path while the PPS signalled it — the
+        decoder then used a different dequant gain than the encoder."""
+        import jax.numpy as jnp
+        from nanohevc_tpu.models.sequence import decode_sequence
+        from nanohevc_tpu.models.wavefront import encode_plane_closed_loop
+
+        src = tmp_path / "seq.yuv"
+        write_sequence(src, 32, 32, 2, seed=11)
+        bs = tmp_path / "seq.bin"
+        cfg = EncoderConfig(block_size=8, qp=24, dequant_rescale=True)
+        encode_sequence(
+            str(src), 32, 32, 2, cfg, str(bs), batch=2, closed_loop=True
+        )
+        out = tmp_path / "dec.yuv"
+        assert decode_sequence(str(bs), str(out)) == 2
+        raw, dec = src.read_bytes(), out.read_bytes()
+        fs = 32 * 32 * 3 // 2
+        for f in range(2):
+            y = np.frombuffer(
+                raw[f * fs : f * fs + 32 * 32], np.uint8
+            ).reshape(32, 32).astype(np.int32)
+            enc = encode_plane_closed_loop(
+                jnp.asarray(y), jnp.int32(24), n=8, dequant_rescale=True
+            )
+            got_y = np.frombuffer(
+                dec[f * fs : f * fs + 32 * 32], np.uint8
+            ).reshape(32, 32)
+            assert np.array_equal(
+                got_y, np.asarray(enc["recon"]).astype(np.uint8)
+            ), f
+
     def test_cli_sequence_decode(self, tmp_path, capsys):
         from nanohevc_tpu.cli import main
 
