@@ -195,6 +195,7 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
         resume=not args.no_resume,
         report_every=args.report_every,
         closed_loop=args.closed_loop,
+        target_bpp=args.target_bpp,
     )
     print("\nSequence results:")
     if res.resumed_from:
@@ -205,8 +206,13 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
     tp = res.stats["throughput"]
     print(f"  Throughput: {tp['mpix_per_s']:.2f} Mpix/s "
           f"({tp['pixels']/1e6:.1f} Mpix in {tp['seconds']:.2f}s)")
+    rc = res.stats.get("rate_control")
+    if rc:
+        print(f"  Rate control: target {rc['target_bpp']:.3f} bpp -> "
+              f"achieved {rc['achieved_bpp']:.3f} bpp "
+              f"(QP {rc['qp_start']} -> {rc['qp_final']})")
     for stage, s in res.stats.items():
-        if stage != "throughput":
+        if stage not in ("throughput", "rate_control"):
             print(f"    {stage:8s} {s['total_s']:8.3f}s over {s['calls']} calls")
 
 
@@ -299,6 +305,9 @@ def main(argv: list[str] | None = None) -> None:
     seq.add_argument("--mode-search", action="store_true")
     seq.add_argument("--rdo", action="store_true",
                      help="RD-optimized coded-block-flag decision")
+    seq.add_argument("--target-bpp", type=float, default=None,
+                     help="one-pass rate control: target bits per luma "
+                     "pixel (QP adapts between batches; --qp seeds it)")
     seq.add_argument("--dequant-rescale", action="store_true",
                      help="spec-correct dequant size rescale (PPS-carried)")
     seq.add_argument("--closed-loop", action="store_true",

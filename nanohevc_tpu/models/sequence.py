@@ -48,17 +48,26 @@ def _read_frames(path: str, width: int, height: int, start: int, count: int
             yield y, u, v
 
 
-def _load_progress(progress_path: str, bitstream_path: str) -> tuple[int, int]:
-    """(frames_done, valid_bytes) from the sidecar; (0, 0) if invalid."""
+def _load_progress(
+    progress_path: str, bitstream_path: str
+) -> tuple[int, int, int | None]:
+    """(frames_done, valid_bytes, qp) from the sidecar; (0, 0, None) if
+    invalid.  qp is the rate-control state at checkpoint time (None for
+    fixed-QP runs or older sidecars)."""
     try:
         with open(progress_path) as f:
             p = json.load(f)
         size = os.path.getsize(bitstream_path)
         if p["bytes_written"] <= size:
-            return int(p["frames_done"]), int(p["bytes_written"])
+            saved_qp = p.get("qp")
+            return (
+                int(p["frames_done"]),
+                int(p["bytes_written"]),
+                int(saved_qp) if saved_qp is not None else None,
+            )
     except (OSError, KeyError, ValueError):
         pass
-    return 0, 0
+    return 0, 0, None
 
 
 @dataclass
@@ -83,12 +92,21 @@ def encode_sequence(
     mesh=None,
     report_every: int = 0,
     closed_loop: bool = False,
+    target_bpp: float | None = None,
 ) -> SequenceResult:
     """Encode `num_frames` frames of a YUV420p file to a bitstream.
 
     closed_loop=True uses the reconstruction-fed wavefront encoder, so
     the resulting stream is pixel-exactly decodable (decode_sequence);
     open loop (default) matches reference semantics and is much faster.
+
+    target_bpp enables one-pass rate control: a RateController
+    (models/rate_control.py) adjusts QP between batches to average
+    `target_bpp` bits per luma pixel; per-slice qp fields carry the
+    schedule to the decoder.  config.qp seeds the controller.  Rate
+    control runs the batches sequentially (no dispatch/drain overlap —
+    feedback must see batch i before encoding i+1) and, open-loop, on
+    the XLA path (the fused kernels bake QP at compile time).
     """
     import jax.numpy as jnp
 
@@ -130,15 +148,32 @@ def encode_sequence(
         luma_fn = chroma_fn = None  # set below
 
     progress_path = bitstream_path + ".progress"
-    start, valid_bytes = (0, 0)
+    start, valid_bytes, saved_qp = (0, 0, None)
     if resume:
-        start, valid_bytes = _load_progress(progress_path, bitstream_path)
+        start, valid_bytes, saved_qp = _load_progress(
+            progress_path, bitstream_path
+        )
     start = min(start, num_frames)
 
     if luma_fn is None:
-        luma_fn = make_batch_encoder(config, mesh, is_luma=True)
-        chroma_fn = make_batch_encoder(config, mesh, is_luma=False)
-    qp = jnp.int32(config.qp)
+        luma_fn = make_batch_encoder(
+            config, mesh, is_luma=True, honor_runtime_qp=target_bpp is not None
+        )
+        chroma_fn = make_batch_encoder(
+            config, mesh, is_luma=False, honor_runtime_qp=target_bpp is not None
+        )
+
+    controller = None
+    cur_qp = config.qp
+    if target_bpp is not None:
+        from nanohevc_tpu.models.rate_control import RateController
+
+        if start > 0 and saved_qp is not None:
+            cur_qp = saved_qp           # resume the controller state
+        controller = RateController(
+            target_bits=target_bpp * width * height * batch,
+            qp=cur_qp,
+        )
 
     from nanohevc_tpu.runtime.bitstream import _SCAN_IDX
 
@@ -180,20 +215,23 @@ def encode_sequence(
             uvs = np.stack(
                 [p[1] for p in padded] + [p[2] for p in padded]
             ).astype(np.int32)
+            qp_dev = jnp.int32(cur_qp)
             with sw.time("dispatch"):
-                y_out = luma_fn(jnp.asarray(ys), qp)      # async enqueue
-                c_out = chroma_fn(jnp.asarray(uvs), qp)
-            return first, take, y_out, c_out
+                y_out = luma_fn(jnp.asarray(ys), qp_dev)  # async enqueue
+                c_out = chroma_fn(jnp.asarray(uvs), qp_dev)
+            return first, take, cur_qp, y_out, c_out
 
         def drain(pending) -> int:
             """Fetch a finished batch, entropy-code it, append, checkpoint."""
-            first, take, y_out, c_out = pending
+            nonlocal cur_qp
+            first, take, batch_qp, y_out, c_out = pending
             with sw.time("fetch"):
                 y_levels = np.asarray(y_out["levels"])[:take]
                 y_modes = np.asarray(y_out["modes"])[:take]
                 c_levels = np.asarray(c_out["levels"])
                 c_modes = np.asarray(c_out["modes"])
                 psnrs.extend(float(v) for v in np.asarray(y_out["psnr"])[:take])
+            batch_bytes = 0
             with sw.time("entropy"):
                 cb = config.chroma_block_size()
                 for i in range(take):
@@ -201,7 +239,7 @@ def encode_sequence(
                     frame_bs = assemble_bitstream(
                         width,
                         height,
-                        config.qp,
+                        batch_qp,
                         {
                             "Y": (y_levels[i], config.block_size),
                             "U": (c_levels[i], cb),
@@ -217,25 +255,39 @@ def encode_sequence(
                     # strip them here (sequence carries one global set)
                     frame_bs = _strip_param_sets(frame_bs)
                     out.write(aud + frame_bs)
+                    batch_bytes += len(aud) + len(frame_bs)
+            if controller is not None and take == batch:
+                cur_qp = controller.update(batch_bytes * 8)
             out.flush()
             with open(progress_path, "w") as pf:
                 json.dump(
-                    {"frames_done": first + take, "bytes_written": out.tell()}, pf
+                    {"frames_done": first + take, "bytes_written": out.tell(),
+                     "qp": cur_qp}, pf
                 )
             if report_every and (first + take - start) % report_every == 0:
                 print(f"  frame {first + take}/{num_frames}", flush=True)
             return first + take
 
-        # Software pipeline: batch i+1 is enqueued on device before
-        # batch i's results are fetched and entropy-coded on the host,
-        # so the sequential entropy stage overlaps device compute.
         done = start
-        pending = dispatch(done) if done < num_frames else None
-        while pending is not None:
-            nxt_first = pending[0] + pending[1]
-            nxt = dispatch(nxt_first) if nxt_first < num_frames else None
-            done = drain(pending)
-            pending = nxt
+        if controller is not None:
+            # Rate control is a feedback loop: batch i's coded size sets
+            # batch i+1's QP, so batches run strictly in sequence.
+            while done < num_frames:
+                pending = dispatch(done)
+                if pending is None:
+                    break
+                done = drain(pending)
+        else:
+            # Software pipeline: batch i+1 is enqueued on device before
+            # batch i's results are fetched and entropy-coded on the
+            # host, so the sequential entropy stage overlaps device
+            # compute.
+            pending = dispatch(done) if done < num_frames else None
+            while pending is not None:
+                nxt_first = pending[0] + pending[1]
+                nxt = dispatch(nxt_first) if nxt_first < num_frames else None
+                done = drain(pending)
+                pending = nxt
 
         bytes_written = out.tell()
 
@@ -244,6 +296,14 @@ def encode_sequence(
     stats["throughput"] = throughput_stats(
         (done - start) * width * height * 3 // 2, wall
     )
+    if controller is not None and done > start:
+        stats["rate_control"] = {
+            "target_bpp": target_bpp,
+            "achieved_bpp": (bytes_written - valid_bytes) * 8
+            / ((done - start) * width * height),
+            "qp_start": config.qp if start == 0 else (saved_qp or config.qp),
+            "qp_final": cur_qp,
+        }
     return SequenceResult(
         frames=done,
         resumed_from=start,
@@ -309,7 +369,7 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                 plane = decode_plane(
                     jnp.asarray(sl["levels"]),
                     jnp.asarray(sl["modes"]),
-                    jnp.int32(qp),
+                    jnp.int32(sl.get("qp", qp)),  # slice qp overrides PPS
                     n=bs,
                     height=h,
                     width=w,

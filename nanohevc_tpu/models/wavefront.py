@@ -380,7 +380,7 @@ def decode_frame(bitstream: bytes):
         plane = decode_plane(
             jnp.asarray(sl["levels"]),
             jnp.asarray(sl["modes"]),
-            jnp.int32(qp),
+            jnp.int32(sl.get("qp", qp)),   # slice qp overrides PPS
             n=bs,
             height=h,
             width=w,

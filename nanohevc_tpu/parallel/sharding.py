@@ -88,6 +88,7 @@ def make_batch_encoder(
     mesh: Mesh | None = None,
     is_luma: bool = True,
     donate: bool = False,
+    honor_runtime_qp: bool = False,
 ) -> Callable:
     """Compile a sharded multi-frame plane encoder.
 
@@ -100,10 +101,15 @@ def make_batch_encoder(
     (spatial.py: explicit ppermute halos around the Pallas kernels) —
     the kernels are NOT forfeited under a mesh.  The fast paths bake
     config.qp (a Pallas-static scalar); like the unsharded fast path,
-    the runtime qp argument is ignored there.
+    the runtime qp argument is ignored there.  honor_runtime_qp=True
+    forces the XLA path so the traced qp argument is always respected
+    (what rate control needs: one compiled program, any QP).
     """
     if mesh is None:
-        step = partial(_batch_step, config=config, is_luma=is_luma)
+        step = partial(
+            _batch_step, config=config, is_luma=is_luma,
+            allow_fast=not honor_runtime_qp,
+        )
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     in_shardings = (
@@ -140,7 +146,7 @@ def make_batch_encoder(
         h, w = planes.shape[-2:]
         variant = (
             None
-            if config.rdo_cbf
+            if config.rdo_cbf or honor_runtime_qp
             else sharded_fast_supported(config, mesh, h, w, is_luma)
         )
         if variant is None:

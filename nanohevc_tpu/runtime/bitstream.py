@@ -4,9 +4,12 @@ Layout (framework-defined, spec-style framing):
 
   [NAL VPS][NAL SPS][NAL PPS][NAL slice Y][NAL slice U][NAL slice V]
 
-Each slice payload: 16-byte little-endian header (plane_id u16,
-block_size u16, nb u32, modes_len u32, levels_len u32) followed by the
-range-coded per-block intra modes and the range-coded levels.  All
+Each slice payload: 20-byte little-endian header (plane_id u16,
+block_size u16, qp u32, nb u32, modes_len u32, levels_len u32)
+followed by the range-coded per-block intra modes and the range-coded
+levels.  The per-slice qp overrides the PPS default — that is what
+lets rate control vary QP frame by frame inside one stream (the HEVC
+analog is slice_qp_delta).  All
 NALs carry start codes, the 2-byte header, and emulation prevention
 (stripped symmetrically on parse).  Implements the nal.py capability
 the reference declares but never ships.
@@ -72,7 +75,8 @@ def assemble_bitstream(
             mpay = b""
         payload = entropy.encode_levels(levels)
         header = struct.pack(
-            "<HHIII", plane_ids[name], block_size, nb, len(mpay), len(payload)
+            "<HHIIII", plane_ids[name], block_size, qp, nb,
+            len(mpay), len(payload),
         )
         out.append(entropy.wrap_nal(entropy.NAL_SLICE, header + mpay + payload))
     return b"".join(out)
@@ -191,9 +195,11 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
             continue
         if nal_type != entropy.NAL_SLICE:
             continue
-        plane_id, block_size, nb, mlen, plen = struct.unpack("<HHIII", payload[:16])
+        plane_id, block_size, qp, nb, mlen, plen = struct.unpack(
+            "<HHIIII", payload[:20]
+        )
         modes = None
-        off = 16
+        off = 20
         if mlen:
             modes = entropy.decode_levels(payload[off : off + mlen], nb, 1)[:, 0]
             off += mlen
@@ -204,5 +210,6 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
             "levels": levels,
             "modes": modes,
             "block_size": block_size,
+            "qp": qp,
         }
     return planes
