@@ -225,19 +225,23 @@ def cmd_decode(args: argparse.Namespace) -> None:
     from nanohevc_tpu.runtime.bitstream import _split_nals
 
     is_sequence = any(t == NAL_AUD for t, _ in _split_nals(bitstream))
-    if is_sequence:
-        from nanohevc_tpu.models.sequence import decode_sequence
+    try:
+        if is_sequence:
+            from nanohevc_tpu.models.sequence import decode_sequence
 
-        n = decode_sequence(args.input, args.output)
-        print(f"Decoded: {args.input} -> {args.output} ({n} frames)")
-    else:
-        from nanohevc_tpu.models.wavefront import decode_frame
+            n = decode_sequence(args.input, args.output)
+            print(f"Decoded: {args.input} -> {args.output} ({n} frames)")
+        else:
+            from nanohevc_tpu.models.wavefront import decode_frame
 
-        frame = decode_frame(bitstream)
-        with open(args.output, "wb") as f:
-            f.write(frame.to_yuv420p())
-        print(f"Decoded: {args.input} -> {args.output} "
-              f"({frame.width}x{frame.height})")
+            frame = decode_frame(bitstream)
+            with open(args.output, "wb") as f:
+                f.write(frame.to_yuv420p())
+            print(f"Decoded: {args.input} -> {args.output} "
+                  f"({frame.width}x{frame.height})")
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        sys.exit(1)
 
 
 def main(argv: list[str] | None = None) -> None:

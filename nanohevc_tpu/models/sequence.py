@@ -347,7 +347,17 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
     params: dict = {}
     for nal_type, payload in _split_nals(data):
         if nal_type in (E.NAL_SPS, E.NAL_PPS):
-            params.update(parse_params(payload))
+            try:
+                params.update(parse_params(payload))
+            except ValueError:
+                continue            # skip corrupted parameter sets
+    if not {"width", "height", "qp"} <= params.keys():
+        from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
+        raise CorruptBitstreamError(
+            "no usable SPS/PPS in sequence stream (not a nanohevc "
+            "bitstream, or parameter sets corrupted)"
+        )
     width, height, qp = params["width"], params["height"], params["qp"]
     from nanohevc_tpu.runtime.bitstream import _SCAN_NAME
 

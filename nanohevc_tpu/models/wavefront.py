@@ -364,6 +364,13 @@ def decode_frame(bitstream: bytes):
 
     parsed = parse_bitstream(bitstream)
     params = parsed.get("params", {})
+    if not {"width", "height", "qp"} <= params.keys():
+        from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
+        raise CorruptBitstreamError(
+            "no usable SPS/PPS in stream (not a nanohevc bitstream, or "
+            "parameter sets corrupted)"
+        )
     width, height, qp = params["width"], params["height"], params["qp"]
     bit_depth = 8 + params.get("bit_depth_luma_minus8", 0)
     scan = _SCAN_NAME[params.get("scan_idx", 0)]

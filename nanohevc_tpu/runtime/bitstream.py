@@ -198,6 +198,18 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
         plane_id, block_size, qp, nb, mlen, plen = struct.unpack(
             "<HHIIII", payload[:20]
         )
+        # Header sanity before any allocation: a corrupted nb/mlen/plen
+        # must raise, not drive a multi-GiB np.empty (fuzz-found).
+        if plane_id > 2 or block_size not in (4, 8, 16, 32):
+            raise entropy.CorruptBitstreamError(
+                f"corrupt slice header: plane_id={plane_id} "
+                f"block_size={block_size}"
+            )
+        if 20 + mlen + plen > len(payload) or nb > (1 << 22):
+            raise entropy.CorruptBitstreamError(
+                f"corrupt slice header: nb={nb} mlen={mlen} plen={plen} "
+                f"exceed payload ({len(payload)} bytes)"
+            )
         modes = None
         off = 20
         if mlen:

@@ -173,6 +173,63 @@ class TestRobustness:
             np.zeros((1, 16), np.int32),
         )
 
+    def test_parser_fuzz_random_buffers(self):
+        """200 random byte buffers: the parser must either raise a clean
+        Python exception or return a (possibly empty) dict — never hang
+        or crash the process (the native decoder is bounds-checked)."""
+        rng = np.random.default_rng(77)
+        for _ in range(200):
+            n = int(rng.integers(0, 400))
+            buf = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            try:
+                parse_bitstream(buf)
+            except (ValueError, RuntimeError, KeyError, IndexError):
+                pass
+
+    def test_parser_fuzz_mutated_valid_streams(self):
+        """Random mutations of a VALID stream: clean error or clean
+        parse; a parse that reaches the levels must either verify the
+        checksum or raise."""
+        rng = np.random.default_rng(78)
+        planes = {"Y": (sparse_levels(rng, 8, 64), 8)}
+        good = bytearray(assemble_bitstream(64, 64, 22, planes))
+        for _ in range(200):
+            bad = bytearray(good)
+            for _ in range(int(rng.integers(1, 6))):
+                bad[int(rng.integers(0, len(bad)))] = int(rng.integers(0, 256))
+            try:
+                parse_bitstream(bytes(bad))
+            except (ValueError, RuntimeError, KeyError, IndexError,
+                    OverflowError):
+                pass
+
+    def test_decode_frame_fuzz(self):
+        """Mutated closed-loop frame streams through the full decoder:
+        clean exception or a decoded Frame, never a crash/hang."""
+        import jax.numpy as jnp
+
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.all_intra import create_test_frame
+        from nanohevc_tpu.models.wavefront import (
+            decode_frame,
+            encode_frame_closed_loop,
+        )
+
+        frame = create_test_frame(32, 32)
+        _, good = encode_frame_closed_loop(
+            frame, EncoderConfig(block_size=8, qp=30)
+        )
+        rng = np.random.default_rng(79)
+        for _ in range(40):
+            bad = bytearray(good)
+            for _ in range(int(rng.integers(1, 4))):
+                bad[int(rng.integers(0, len(bad)))] = int(rng.integers(0, 256))
+            try:
+                decode_frame(bytes(bad))
+            except (ValueError, RuntimeError, KeyError, IndexError,
+                    OverflowError, TypeError):
+                pass
+
 
 class TestParamParsing:
     def test_sps_fields_roundtrip(self):
