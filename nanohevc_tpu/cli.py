@@ -196,6 +196,7 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
         report_every=args.report_every,
         closed_loop=args.closed_loop,
         target_bpp=args.target_bpp,
+        entropy_tiles=args.entropy_tiles,
     )
     print("\nSequence results:")
     if res.resumed_from:
@@ -309,6 +310,10 @@ def main(argv: list[str] | None = None) -> None:
     seq.add_argument("--mode-search", action="store_true")
     seq.add_argument("--rdo", action="store_true",
                      help="RD-optimized coded-block-flag decision")
+    seq.add_argument("--entropy-tiles", type=int, default=1,
+                     help="parallel host entropy: split each plane's "
+                     "levels into N independent context chunks coded "
+                     "on N threads (HEVC tiles/WPP analog)")
     seq.add_argument("--target-bpp", type=float, default=None,
                      help="one-pass rate control: target bits per luma "
                      "pixel (QP adapts between batches; --qp seeds it)")

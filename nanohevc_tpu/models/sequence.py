@@ -93,6 +93,7 @@ def encode_sequence(
     report_every: int = 0,
     closed_loop: bool = False,
     target_bpp: float | None = None,
+    entropy_tiles: int = 1,
 ) -> SequenceResult:
     """Encode `num_frames` frames of a YUV420p file to a bitstream.
 
@@ -250,6 +251,7 @@ def encode_sequence(
                             "U": c_modes[i],
                             "V": c_modes[batch + i],
                         },
+                        entropy_tiles=entropy_tiles,
                     )
                     # assemble_bitstream repeats parameter sets per call;
                     # strip them here (sequence carries one global set)

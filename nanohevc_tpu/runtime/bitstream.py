@@ -44,6 +44,7 @@ def assemble_bitstream(
     bit_depth: int = 8,
     scan: str = "diag",
     dequant_rescale: bool = False,
+    entropy_tiles: int = 1,
 ) -> bytes:
     """Build a full frame bitstream.
 
@@ -51,7 +52,10 @@ def assemble_bitstream(
     int32 scan-ordered, block_size); plane_modes optionally maps the
     same names to (nb,) int32 intra-mode indices.  bit_depth rides the
     SPS, scan order and the dequant-rescale flag ride the PPS, so the
-    stream decodes without out-of-band config.
+    stream decodes without out-of-band config.  entropy_tiles > 1
+    splits each level payload into independent context chunks coded on
+    parallel host threads (self-describing; the parser needs no
+    knowledge of the count).
     """
     first = next(iter(plane_levels.values()))
     pk = dict(
@@ -73,7 +77,7 @@ def assemble_bitstream(
             mpay = entropy.encode_levels(modes.reshape(nb, 1))
         else:
             mpay = b""
-        payload = entropy.encode_levels(levels)
+        payload = entropy.encode_levels(levels, tiles=entropy_tiles)
         header = struct.pack(
             "<HHIIII", plane_ids[name], block_size, qp, nb,
             len(mpay), len(payload),

@@ -36,6 +36,23 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.nhr_encode_levels_tiled.restype = ctypes.c_int64
+    lib.nhr_encode_levels_tiled.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    lib.nhr_decode_levels_tiled.restype = ctypes.c_int64
+    lib.nhr_decode_levels_tiled.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.nhr_wrap_nal.restype = ctypes.c_int64
     lib.nhr_wrap_nal.argtypes = [
         ctypes.c_uint8,
@@ -75,13 +92,23 @@ def _i32ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
 
 
-def encode_levels(levels: np.ndarray) -> bytes:
-    """(nb, ncoef) int32 scan-ordered levels -> compressed bytes."""
+def encode_levels(levels: np.ndarray, tiles: int = 1) -> bytes:
+    """(nb, ncoef) int32 scan-ordered levels -> compressed bytes.
+
+    tiles > 1 splits the block axis into that many independent context
+    chunks coded on parallel host threads (the HEVC tiles/WPP analog —
+    CABAC-class coding is sequential within one context chain, so
+    parallelism must come from independent chains).  The payload
+    carries its own tile table; decode_levels is tile-count agnostic.
+    Per-tile context reset costs <1% rate on frame-sized payloads.
+    """
     levels = np.ascontiguousarray(levels, dtype=np.int32)
     nb, ncoef = levels.shape
-    cap = levels.size * 4 + 1024  # worst case: incompressible
+    cap = levels.size * 4 + 1024 + 6 * max(1, tiles)
     out = np.empty(cap, dtype=np.uint8)
-    n = _lib().nhr_encode_levels(_i32ptr(levels), nb, ncoef, _u8ptr(out), cap)
+    n = _lib().nhr_encode_levels_tiled(
+        _i32ptr(levels), nb, ncoef, max(1, tiles), _u8ptr(out), cap
+    )
     if n < 0:
         raise RuntimeError("entropy encoder output overflow")
     return out[:n].tobytes()
@@ -103,12 +130,15 @@ def decode_levels(data: bytes, nb: int, ncoef: int) -> np.ndarray:
     buf = np.frombuffer(data, dtype=np.uint8)
     buf = np.ascontiguousarray(buf)
     out = np.empty((nb, ncoef), dtype=np.int32)
-    rc = _lib().nhr_decode_levels(_u8ptr(buf), len(data), nb, ncoef, _i32ptr(out))
+    rc = _lib().nhr_decode_levels_tiled(
+        _u8ptr(buf), len(data), nb, ncoef, _i32ptr(out)
+    )
     if rc != 0:
         reasons = {
             1: "truncated (shorter than its checksum trailer)",
             2: "checksum mismatch",
             3: "decoder overran the coded bytes",
+            4: "malformed tile table",
         }
         raise CorruptBitstreamError(
             f"corrupt level payload: {reasons.get(rc, rc)}"

@@ -11,6 +11,7 @@ from nanohevc_tpu.runtime import (
     wrap_nal,
     write_params,
 )
+from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
 
 
 def sparse_levels(rng, nb, ncoef, density=0.1, amp=10):
@@ -172,6 +173,30 @@ class TestRobustness:
             decode_levels(encode_levels(np.zeros((1, 16), np.int32)), 1, 16),
             np.zeros((1, 16), np.int32),
         )
+
+    def test_tiled_payload_roundtrip(self):
+        """Entropy tiles: any tile count round-trips losslessly and the
+        decoder is tile-count agnostic (the payload is self-describing)."""
+        rng = np.random.default_rng(30)
+        levels = sparse_levels(rng, 96, 64)
+        for tiles in (1, 2, 3, 8, 96):
+            pay = encode_levels(levels, tiles=tiles)
+            assert np.array_equal(decode_levels(pay, 96, 64), levels), tiles
+
+    def test_tiled_corruption_detected(self):
+        rng = np.random.default_rng(31)
+        levels = sparse_levels(rng, 64, 64)
+        pay = bytearray(encode_levels(levels, tiles=4))
+        pay[len(pay) // 2] ^= 0x40
+        with pytest.raises(CorruptBitstreamError):
+            decode_levels(bytes(pay), 64, 64)
+
+    def test_tiled_bitstream_through_frame_api(self):
+        rng = np.random.default_rng(32)
+        planes = {"Y": (sparse_levels(rng, 32, 64), 8)}
+        bs = assemble_bitstream(64, 32, 22, planes, entropy_tiles=4)
+        back = parse_bitstream(bs)
+        assert np.array_equal(back["Y"]["levels"], planes["Y"][0])
 
     def test_parser_fuzz_random_buffers(self):
         """200 random byte buffers: the parser must either raise a clean

@@ -43,7 +43,8 @@ class TestCoderGroundTruth:
         for kind, qp in (("gradient", 18), ("noise", 26), ("flat", 30)):
             lv = _levels(kind, qp)
             bits = block_bits(lv)
-            nbytes = len(encode_levels(lv)) - 4  # minus checksum trailer
+            # minus container overhead: tile table (2 + 4) + checksum (4)
+            nbytes = len(encode_levels(lv)) - 10
             # range-coder flush adds ~4 bytes; allow 1% + flush slack
             assert abs(bits.sum() / 8.0 - nbytes) <= nbytes * 0.01 + 8, (
                 kind, bits.sum() / 8.0, nbytes,
