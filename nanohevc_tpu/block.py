@@ -32,9 +32,13 @@ class BlockView:
         self.y = y
         self.size = size
 
+    def _fill(self, n: int) -> np.ndarray:
+        return np.full(n, BOUNDARY_FILL, dtype=self.plane.data.dtype)
+
     @property
     def pixels(self) -> np.ndarray:
-        return self.plane.data[self.y : self.y + self.size, self.x : self.x + self.size]
+        a = self.plane.data
+        return a[self.y : self.y + self.size, self.x : self.x + self.size]
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -42,36 +46,44 @@ class BlockView:
 
     def get_top_neighbors(self, count: Optional[int] = None) -> np.ndarray:
         """Pixels from the row above; BOUNDARY_FILL on the top edge."""
-        n = count if count is not None else self.size
+        n = self.size if count is None else count
         if self.y == 0:
-            return np.full(n, BOUNDARY_FILL, dtype=self.plane.data.dtype)
+            return self._fill(n)
         return self.plane.data[self.y - 1, self.x : self.x + n].copy()
 
     def get_left_neighbors(self, count: Optional[int] = None) -> np.ndarray:
         """Pixels from the column to the left; BOUNDARY_FILL on the left edge."""
-        n = count if count is not None else self.size
+        n = self.size if count is None else count
         if self.x == 0:
-            return np.full(n, BOUNDARY_FILL, dtype=self.plane.data.dtype)
+            return self._fill(n)
         return self.plane.data[self.y : self.y + n, self.x - 1].copy()
 
     def get_top_left_neighbor(self) -> int:
         """Corner pixel; BOUNDARY_FILL when the block touches either edge."""
-        if self.y == 0 or self.x == 0:
-            return BOUNDARY_FILL
-        return int(self.plane.data[self.y - 1, self.x - 1])
+        on_edge = self.y == 0 or self.x == 0
+        return BOUNDARY_FILL if on_edge else int(
+            self.plane.data[self.y - 1, self.x - 1]
+        )
 
     def copy_pixels(self) -> np.ndarray:
         return self.pixels.copy()
 
     def write_pixels(self, data: np.ndarray) -> None:
-        self.plane.data[self.y : self.y + self.size, self.x : self.x + self.size] = data
+        self.pixels[...] = data
 
     def __repr__(self) -> str:
         return f"BlockView(x={self.x}, y={self.y}, size={self.size})"
 
 
 def iterate_blocks(plane: Plane, block_size: int) -> Iterator[BlockView]:
-    """Raster-order full blocks only; partial edge blocks are skipped."""
-    for y in range(0, plane.height - block_size + 1, block_size):
-        for x in range(0, plane.width - block_size + 1, block_size):
-            yield BlockView(plane=plane, x=x, y=y, size=block_size)
+    """Raster-order full blocks only; partial edge blocks are skipped.
+
+    Matches the device tiling (ops/tiling.py tile_plane): the grid is
+    floor(H/N) x floor(W/N); a ragged right/bottom margin is never
+    visited.
+    """
+    nby = plane.height // block_size
+    nbx = plane.width // block_size
+    for by in range(nby):
+        for bx in range(nbx):
+            yield BlockView(plane, bx * block_size, by * block_size, block_size)
