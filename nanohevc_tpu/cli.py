@@ -98,6 +98,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             mode_set="all" if args.mode_search else "dc_planar",
             decision="satd" if args.mode_search else "energy",
             dequant_rescale=args.dequant_rescale,
+            intra_smoothing=args.intra_smoothing,
         )
         recon, bitstream = encode_frame_closed_loop(frame, config)
         if args.output:
@@ -138,6 +139,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             decision="satd" if args.mode_search else "energy",
             rdo_cbf=args.rdo,
             dequant_rescale=args.dequant_rescale,
+            intra_smoothing=args.intra_smoothing,
         )
         recon, info = encode_frame_full(frame, config)
         if args.output:
@@ -183,6 +185,7 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
         decision="satd" if args.mode_search else "energy",
         rdo_cbf=args.rdo,
         dequant_rescale=args.dequant_rescale,
+        intra_smoothing=args.intra_smoothing,
     )
     res = encode_sequence(
         args.input,
@@ -289,6 +292,12 @@ def main(argv: list[str] | None = None) -> None:
         "(full pipeline only)",
     )
     enc.add_argument(
+        "--intra-smoothing",
+        action="store_true",
+        help="[1 2 1] reference-sample smoothing per spec 8.4.4.2.3 "
+        "(luma, N>=8; the reference has none); carried in the PPS",
+    )
+    enc.add_argument(
         "--dequant-rescale",
         action="store_true",
         help="spec-correct dequant size rescale at N>4 (better recon "
@@ -317,6 +326,8 @@ def main(argv: list[str] | None = None) -> None:
     seq.add_argument("--target-bpp", type=float, default=None,
                      help="one-pass rate control: target bits per luma "
                      "pixel (QP adapts between batches; --qp seeds it)")
+    seq.add_argument("--intra-smoothing", action="store_true",
+                     help="[1 2 1] reference smoothing (PPS-carried)")
     seq.add_argument("--dequant-rescale", action="store_true",
                      help="spec-correct dequant size rescale (PPS-carried)")
     seq.add_argument("--closed-loop", action="store_true",

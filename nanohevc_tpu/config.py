@@ -31,6 +31,11 @@ class EncoderConfig:
     decision: str = "energy"
     scan: str = "diag"
     rdo_cbf: bool = False   # RD-optimized coded-block-flag decision
+    # Reference-sample smoothing (spec 8.4.4.2.3): [1 2 1] filter on
+    # the prediction references for the modes the spec's filter-flag
+    # rule selects (nothing at 4x4, DC never).  The reference
+    # implementation has no smoothing; off keeps parity.
+    intra_smoothing: bool = False
     # Spec-correct dequant size rescale.  The reference's dequantizer
     # omits the size-dependent term (its quant.py:110-121), attenuating
     # coded residuals 2^(log2 N - 2) at N > 4; True restores the

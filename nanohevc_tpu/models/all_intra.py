@@ -50,6 +50,7 @@ def decide_modes(
     n: int,
     mode_set: str,
     decision: str,
+    smoothing: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pick the best intra mode per block.
 
@@ -58,9 +59,20 @@ def decide_modes(
     lowest mode index (argmin).  The 35-mode search runs as a running
     minimum over per-mode predictions, so peak memory stays O(nb*N^2)
     instead of O(nb*35*N^2).
+
+    smoothing applies the spec's [1 2 1] reference-sample filter
+    (8.4.4.2.3) to the modes its filter-flag rule selects (DC never,
+    nothing at 4x4); the reference implementation has no smoothing at
+    all, so this is opt-in and off by default for parity.
     """
-    dc = ops.dc_predict(refs, n)
-    pl = ops.planar_predict(refs, n)
+    from nanohevc_tpu.ops.intra import mode_filter_flags
+
+    flags = mode_filter_flags(n) if smoothing else None
+    refs_f = ops.smooth_refs(refs, n) if smoothing and n > 4 else refs
+    dc = ops.dc_predict(refs, n)                 # DC always unfiltered
+    pl = ops.planar_predict(
+        refs_f if (flags is not None and flags[PLANAR_MODE]) else refs, n
+    )
     cost_dc = _cost(blocks, dc, decision)
     cost_pl = _cost(blocks, pl, decision)
 
@@ -76,14 +88,23 @@ def decide_modes(
     # -boundary overhead), costs are evaluated with a mode axis, and
     # the winner is applied by a one-hot matmul — no gathers anywhere.
     from nanohevc_tpu.ops.angular_tables import angular_weight_matrices
+    from nanohevc_tpu.ops.intra import cat_weight_matrices
 
     nb = refs.shape[0]
+    if smoothing and n > 4:
+        # each mode's weights live in the raw or the filtered half of
+        # the doubled refs vector per its static filter flag
+        refs_in = jnp.concatenate([refs, refs_f], axis=1)
+        w_host = cat_weight_matrices(n)                  # (33, 2R, N*N)
+    else:
+        refs_in = refs
+        w_host = angular_weight_matrices(n)              # (33, R, N*N)
     w_all = jnp.asarray(
-        angular_weight_matrices(n).transpose(1, 0, 2).reshape(4 * n + 2, -1)
-    )                                                    # (R, 33*N*N)
+        w_host.transpose(1, 0, 2).reshape(w_host.shape[1], -1)
+    )                                                    # (R', 33*N*N)
     preds_flat = (
         (
-            jnp.einsum("br,rq->bq", refs, w_all,
+            jnp.einsum("br,rq->bq", refs_in, w_all,
                        preferred_element_type=jnp.int32)
             + 16
         )
@@ -147,6 +168,7 @@ def encode_plane_full(
     dequant_rescale: bool = False,
     rate_mode: str = "coder",
     rd_lambda_scale: float = 1.0,
+    intra_smoothing: bool = False,
 ):
     """Full front-half encode of one plane.
 
@@ -178,7 +200,9 @@ def encode_plane_full(
     blocks = ops.tile_plane(src, n)
     # HEVC boundary fill is 1 << (bit_depth - 1); 128 at 8-bit (parity)
     refs = ops.extract_refs(src, n, boundary=1 << (bit_depth - 1))
-    pred, modes = decide_modes(blocks, refs, n, mode_set, decision)
+    pred, modes = decide_modes(
+        blocks, refs, n, mode_set, decision, smoothing=intra_smoothing
+    )
     res = blocks - pred
     coeff = ops.forward_transform(res, use_dst)
     levels = ops.quantize(coeff, qp, n, is_intra)
@@ -299,6 +323,7 @@ def supports_mode_search_fast_path(config, n: int, width: int,
         config.mode_set == "all"
         and config.decision == "satd"
         and config.is_intra
+        and not (config.intra_smoothing and is_luma)  # smoothing -> XLA path
         and n in (4, 8, 16, 32)
         and width % n == 0
     )
@@ -317,6 +342,7 @@ def supports_fast_path(config, n: int, width: int, is_luma: bool = True) -> bool
         config.mode_set == "dc_planar"
         and config.decision == "energy"
         and config.is_intra
+        and not (config.intra_smoothing and is_luma)  # smoothing -> XLA path
         and slab_supported(n, width)
     )
 
@@ -329,7 +355,8 @@ def _jit_parity(n: int, bit_depth: int):
 @lru_cache(maxsize=None)
 def _jit_full(n: int, mode_set: str, decision: str, use_dst: bool,
               is_intra: bool, bit_depth: int, scan: str,
-              rdo_cbf: bool = False, dequant_rescale: bool = False):
+              rdo_cbf: bool = False, dequant_rescale: bool = False,
+              intra_smoothing: bool = False):
     return jax.jit(
         partial(
             encode_plane_full,
@@ -342,6 +369,7 @@ def _jit_full(n: int, mode_set: str, decision: str, use_dst: bool,
             scan=scan,
             rdo_cbf=rdo_cbf,
             dequant_rescale=dequant_rescale,
+            intra_smoothing=intra_smoothing,
         )
     )
 
@@ -444,6 +472,7 @@ def encode_frame_full(frame: Frame, config: EncoderConfig) -> Tuple[Frame, dict]
                 config.scan,
                 config.rdo_cbf,
                 config.dequant_rescale,
+                config.intra_smoothing and is_luma,  # spec: luma only
             )
             out = fn(jnp.asarray(src.data), jnp.int32(config.qp))
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)

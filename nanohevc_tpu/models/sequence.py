@@ -137,6 +137,7 @@ def encode_sequence(
                     bit_depth=config.bit_depth,
                     scan=config.scan,
                     dequant_rescale=config.dequant_rescale,
+                    intra_smoothing=config.intra_smoothing and is_luma,
                 )
                 out["psnr"] = jax.vmap(_psnr)(planes, out["recon"])
                 return out
@@ -183,6 +184,7 @@ def encode_sequence(
             width, height, config.block_size, config.qp, which,
             bit_depth=config.bit_depth, scan_idx=_SCAN_IDX[config.scan],
             rescale_flag=int(config.dequant_rescale),
+            smoothing_flag=int(config.intra_smoothing),
         )
 
     sw = Stopwatch()
@@ -366,6 +368,7 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
     bit_depth = 8 + params.get("bit_depth_luma_minus8", 0)
     scan = _SCAN_NAME[params.get("scan_idx", 0)]
     rescale = params.get("dequant_rescale", False)
+    smoothing = params.get("intra_smoothing", False)
 
     frames = decode_sequence_levels(bitstream_path)
     n_written = 0
@@ -389,6 +392,7 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                     bit_depth=bit_depth,
                     scan=scan,
                     dequant_rescale=rescale,
+                    intra_smoothing=smoothing and name == "Y",
                 )
                 out.write(np.asarray(plane).astype(np.uint8).tobytes())
             n_written += 1

@@ -207,6 +207,7 @@ def encode_planes_closed_loop(
     bit_depth: int = 8,
     scan: str = "diag",
     dequant_rescale: bool = False,
+    intra_smoothing: bool = False,
     allow_fast: bool | None = None,
 ):
     """Batched wavefront encode: (B, H, W) planes, reconstruction-fed.
@@ -244,8 +245,10 @@ def encode_planes_closed_loop(
     # transforms amortize across the widened diagonal), so auto-select
     # by batch.  Both paths are bit-exact to the sequential oracle.
     if allow_fast is None:
-        allow_fast = b == 1 and wavefront_kernel_supported(
-            n, mode_set, decision, use_dst
+        allow_fast = (
+            b == 1
+            and not intra_smoothing   # smoothing lives on the XLA path
+            and wavefront_kernel_supported(n, mode_set, decision, use_dst)
         )
     if allow_fast:
         rec_all, levels_all, modes_all = wavefront_encode_blocks(
@@ -258,7 +261,8 @@ def encode_planes_closed_loop(
             d, bx, ok, blocks_slot = xs
             refs = _read_refs_skewed(s_bot, r_sp, d, n, nby, boundary, bx)
             pred, modes = decide_modes(
-                blocks_slot, refs, n, mode_set, decision
+                blocks_slot, refs, n, mode_set, decision,
+                smoothing=intra_smoothing,
             )
             levels, rec_blocks = _code_residual(
                 blocks_slot, pred, qp, n, use_dst, bit_depth, dequant_rescale
@@ -335,6 +339,7 @@ def encode_frame_closed_loop(frame, config) -> tuple:
             bit_depth=config.bit_depth,
             scan=config.scan,
             dequant_rescale=config.dequant_rescale,
+            intra_smoothing=config.intra_smoothing and is_luma,
         )
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)
         plane_levels[name] = (np.asarray(out["levels"]), bs)
@@ -343,6 +348,7 @@ def encode_frame_closed_loop(frame, config) -> tuple:
         frame.width, frame.height, config.qp, plane_levels, plane_modes,
         bit_depth=config.bit_depth, scan=config.scan,
         dequant_rescale=config.dequant_rescale,
+        intra_smoothing=config.intra_smoothing,
     )
     return recon, bitstream
 
@@ -375,6 +381,7 @@ def decode_frame(bitstream: bytes):
     bit_depth = 8 + params.get("bit_depth_luma_minus8", 0)
     scan = _SCAN_NAME[params.get("scan_idx", 0)]
     rescale = params.get("dequant_rescale", False)
+    smoothing = params.get("intra_smoothing", False)
     recon = Frame.zeros(height, width, dtype=np.int16)
     for name, dst, (h, w) in (
         ("Y", recon.y, (height, width)),
@@ -395,6 +402,7 @@ def decode_frame(bitstream: bytes):
             bit_depth=bit_depth,
             scan=scan,
             dequant_rescale=rescale,
+            intra_smoothing=smoothing and name == "Y",  # spec: luma only
         )
         dst.data[...] = np.asarray(plane).astype(np.int16)
     return recon
@@ -412,6 +420,7 @@ def decode_plane(
     bit_depth: int = 8,
     scan: str = "diag",
     dequant_rescale: bool = False,
+    intra_smoothing: bool = False,
 ) -> jnp.ndarray:
     """Pixel-exact decoder for closed-loop streams.
 
@@ -442,7 +451,9 @@ def decode_plane(
         s_bot, r_sp = carry
         d, bx, ok, res_slot, modes_slot = xs
         refs = _read_refs_skewed(s_bot, r_sp, d, n, nby, boundary, bx)
-        pred = predict_by_mode_mm(refs, n, modes_slot)
+        pred = predict_by_mode_mm(
+            refs, n, modes_slot, smoothing=intra_smoothing
+        )
         rec = jnp.clip(pred + res_slot, 0, (1 << bit_depth) - 1)
         s_bot, r_sp = _write_bufs_skewed(
             s_bot, r_sp, rec, d, ok, bx, n, nby, nbx, rep_w, rep_h

@@ -16,6 +16,8 @@ from nanohevc_tpu.ops.tiling import (
 from nanohevc_tpu.ops.intra import (
     dc_predict,
     planar_predict,
+    smooth_refs,
+    mode_filter_flags,
     angular_predict_all,
     angular_predict_modes,
     predict_by_mode,
@@ -47,6 +49,8 @@ __all__ = [
     "num_blocks",
     "dc_predict",
     "planar_predict",
+    "smooth_refs",
+    "mode_filter_flags",
     "angular_predict_all",
     "angular_predict_modes",
     "predict_by_mode",

@@ -22,6 +22,80 @@ PLANAR_MODE = 0
 DC_MODE = 1
 ALL_ANGULAR = tuple(range(2, 35))
 
+# Reference-sample smoothing (spec 8.4.4.2.3): thresholds on
+# min(|mode-26|, |mode-10|) per block size; 4x4 and DC never filter.
+_SMOOTH_THRESH = {8: 7, 16: 1, 32: 0}
+
+
+def mode_filter_flags(n: int):
+    """Static (35,) bool: which modes read [1 2 1]-filtered references.
+
+    filterFlag = n > 4 and mode != DC and
+    min(|mode-26|, |mode-10|) > thresh[n] (spec 8.4.4.2.3; planar's
+    mode index 0 gives minDist 10, so planar filters at every n >= 8).
+    """
+    import numpy as np
+
+    flags = np.zeros(35, bool)
+    if n == 4:
+        return flags
+    t = _SMOOTH_THRESH[n]
+    for m in range(35):
+        if m == DC_MODE:
+            continue
+        dist = 10 if m == PLANAR_MODE else min(abs(m - 26), abs(m - 10))
+        flags[m] = dist > t
+    return flags
+
+
+def smooth_refs(refs: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[1 2 1]/4 reference-sample filter (spec 8.4.4.2.3) on the
+    combined (nb, 4N+2) layout.
+
+    The boundary path runs bottom-left -> corner -> top-right; interior
+    samples take (prev + 2*cur + next + 2) >> 2, the corner averages
+    its two path neighbors (top[1], left[1]), and the two path
+    endpoints (top[2N], left[2N]) pass through unfiltered.
+    """
+    top, left = _split_refs(refs, n)                     # (nb, 2N+1) each
+    corner = top[:, 0:1]
+    fc = (left[:, 1:2] + 2 * corner + top[:, 1:2] + 2) >> 2
+
+    def filt(arr):
+        # arr: (nb, 2N+1) corner-at-0; path neighbor of arr[1] is corner
+        prev = arr[:, :-2]                               # corner..arr[2N-1]
+        cur = arr[:, 1:-1]
+        nxt = arr[:, 2:]
+        body = (prev + 2 * cur + nxt + 2) >> 2           # arr[1..2N-1]
+        return jnp.concatenate([fc, body, arr[:, -1:]], axis=1)
+
+    return jnp.concatenate([filt(top), filt(left)], axis=1)
+
+
+def cat_refs(refs: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(nb, 4N+2) -> (nb, 2*(4N+2)): raw refs beside smoothed refs.
+
+    Pairs with cat_weight_matrices: each mode's weights live in the
+    raw or the filtered half per its static filter flag, so smoothing
+    costs one extra filter pass and a 2x-K matmul — no per-mode
+    branching, no gathers.
+    """
+    return jnp.concatenate([refs, smooth_refs(refs, n)], axis=1)
+
+
+def cat_weight_matrices(n: int):
+    """(33, 2*(4N+2), N*N) weight stack routed by mode_filter_flags."""
+    import numpy as np
+
+    w = angular_weight_matrices(n)                       # (33, R, N*N)
+    r = w.shape[1]
+    flags = mode_filter_flags(n)
+    out = np.zeros((33, 2 * r, w.shape[2]), w.dtype)
+    for k in range(33):
+        half = slice(r, 2 * r) if flags[k + 2] else slice(0, r)
+        out[k, half] = w[k]
+    return out
+
 
 def _split_refs(refs: jnp.ndarray, n: int):
     """Combined (nb, 4N+2) -> top (nb, 2N+1), left (nb, 2N+1)."""
@@ -107,15 +181,31 @@ def angular_predict_mm(refs: jnp.ndarray, n: int, mode: int) -> jnp.ndarray:
     return ((acc + 16) >> 5).reshape(refs.shape[0], n, n)
 
 
-def predict_by_mode_mm(refs: jnp.ndarray, n: int, mode_idx: jnp.ndarray) -> jnp.ndarray:
+def predict_by_mode_mm(
+    refs: jnp.ndarray, n: int, mode_idx: jnp.ndarray,
+    smoothing: bool = False,
+) -> jnp.ndarray:
     """Gather-free per-block mode application.
 
     Selects each block's weight matrix by a one-hot (nb, 33) matmul
     over the stacked tables — pred = (refs_b @ W[mode_b]) computed as
     einsum with the one-hot folded in — then overlays DC/planar.
+    With smoothing, the refs vector doubles to [raw | filtered] and
+    each mode's weights route to the half its filter flag selects, so
+    per-block dynamic modes still need no branching.
     """
     nb = refs.shape[0]
-    w_all = jnp.asarray(angular_weight_matrices(n))            # (33, R, N*N)
+    if smoothing and n > 4:
+        flags = mode_filter_flags(n)
+        refs_in = cat_refs(refs, n)
+        w_all = jnp.asarray(cat_weight_matrices(n))            # (33, 2R, N*N)
+        pl_refs = (
+            refs_in[:, refs.shape[1]:] if flags[PLANAR_MODE] else refs
+        )
+    else:
+        refs_in = refs
+        w_all = jnp.asarray(angular_weight_matrices(n))        # (33, R, N*N)
+        pl_refs = refs
     onehot = jax.nn.one_hot(
         jnp.clip(mode_idx - 2, 0, 32), 33, dtype=jnp.int32
     )                                                           # (nb, 33)
@@ -124,7 +214,7 @@ def predict_by_mode_mm(refs: jnp.ndarray, n: int, mode_idx: jnp.ndarray) -> jnp.
     # acc[b, p] = sum_r refs[b, r] * W[m_b, r, p]
     #           = sum_m onehot[b, m] * (refs[b] @ W[m])[p]
     per_mode = jnp.einsum(
-        "br,mrp->bmp", refs, w_all, preferred_element_type=jnp.int32
+        "br,mrp->bmp", refs_in, w_all, preferred_element_type=jnp.int32
     )                                                           # (nb, 33, N*N)
     acc = jnp.einsum(
         "bm,bmp->bp", onehot, per_mode, preferred_element_type=jnp.int32
@@ -133,7 +223,7 @@ def predict_by_mode_mm(refs: jnp.ndarray, n: int, mode_idx: jnp.ndarray) -> jnp.
     sel = mode_idx[:, None, None]
     return jnp.where(
         sel == PLANAR_MODE,
-        planar_predict(refs, n),
+        planar_predict(pl_refs, n),
         jnp.where(sel == DC_MODE, dc_predict(refs, n), ang_pred),
     )
 

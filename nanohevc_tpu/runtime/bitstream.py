@@ -44,6 +44,7 @@ def assemble_bitstream(
     bit_depth: int = 8,
     scan: str = "diag",
     dequant_rescale: bool = False,
+    intra_smoothing: bool = False,
     entropy_tiles: int = 1,
 ) -> bytes:
     """Build a full frame bitstream.
@@ -62,6 +63,7 @@ def assemble_bitstream(
         bit_depth=bit_depth,
         scan_idx=_SCAN_IDX[scan],
         rescale_flag=int(dequant_rescale),
+        smoothing_flag=int(intra_smoothing),
     )
     out = [
         entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, first[1], qp, 0, **pk)),
@@ -182,6 +184,7 @@ def parse_params(payload: bytes) -> dict:
         "qp": r.ue(),
         "scan_idx": r.ue(),
         "dequant_rescale": bool(r.ue()),
+        "intra_smoothing": bool(r.ue()),
     }
 
 

@@ -78,6 +78,7 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
+        ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
@@ -193,6 +194,7 @@ def write_params(
     bit_depth: int = 8,
     scan_idx: int = 0,
     rescale_flag: int = 0,
+    smoothing_flag: int = 0,
 ) -> bytes:
     """Parameter-set RBSP payload (0=VPS, 1=SPS, 2=PPS).
 
@@ -205,7 +207,7 @@ def write_params(
     out = np.empty(256, dtype=np.uint8)
     n = _lib().nhr_write_params(
         width, height, block_size, qp, which,
-        bit_depth, scan_idx, rescale_flag, _u8ptr(out), 256,
+        bit_depth, scan_idx, rescale_flag, smoothing_flag, _u8ptr(out), 256,
     )
     if n == 0:
         raise RuntimeError("params overflow")
