@@ -74,6 +74,7 @@ def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
                 scan=config.scan,
                 rdo_cbf=config.rdo_cbf,
                 dequant_rescale=config.dequant_rescale,
+                intra_smoothing=config.intra_smoothing and is_luma,
             )
 
     out = jax.vmap(one)(planes)

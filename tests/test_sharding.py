@@ -85,6 +85,32 @@ class TestShardedEncode:
                     np.asarray(out[k][f]), np.asarray(single[k])
                 ), (k, f)
 
+    @needs_8
+    def test_sharded_smoothing_matches_single_device(self):
+        """Regression: the sharded XLA step once dropped the
+        intra_smoothing flag."""
+        mesh = make_mesh(space=1)
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 256, (8, 32, 64)).astype(np.int32)
+        config = EncoderConfig(
+            block_size=8, qp=22, mode_set="all", decision="satd",
+            intra_smoothing=True,
+        )
+        fn = make_batch_encoder(config, mesh)
+        sharding = NamedSharding(mesh, P("frame", "space", None))
+        planes = jax.device_put(jnp.asarray(frames), sharding)
+        out = fn(planes, jnp.int32(22))
+        single = encode_plane_full(
+            jnp.asarray(frames[0]), jnp.int32(22), n=8, mode_set="all",
+            decision="satd", intra_smoothing=True,
+        )
+        assert np.array_equal(
+            np.asarray(out["recon"][0]), np.asarray(single["recon"])
+        )
+        assert np.array_equal(
+            np.asarray(out["modes"][0]), np.asarray(single["modes"])
+        )
+
     def test_unsharded_encoder_works(self):
         fn = make_batch_encoder(EncoderConfig(block_size=8, qp=22))
         rng = np.random.default_rng(2)
