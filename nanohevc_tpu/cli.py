@@ -100,6 +100,16 @@ def cmd_encode(args: argparse.Namespace) -> None:
             dequant_rescale=args.dequant_rescale,
             intra_smoothing=args.intra_smoothing,
         )
+        if args.target_bytes:
+            from dataclasses import replace
+
+            from nanohevc_tpu.models.rate_control import find_frame_qp
+
+            qp, size = find_frame_qp(frame, config, args.target_bytes)
+            print(f"Rate search: QP {qp} fits {args.target_bytes} bytes "
+                  f"({size} coded)")
+            config = replace(config, qp=qp)
+            args.qp = qp
         recon, bitstream = encode_frame_closed_loop(frame, config)
         if args.output:
             with open(args.output, "wb") as f:
@@ -290,6 +300,13 @@ def main(argv: list[str] | None = None) -> None:
         "--bitstream",
         help="write entropy-coded bitstream (NAL-framed) to this path "
         "(full pipeline only)",
+    )
+    enc.add_argument(
+        "--target-bytes",
+        type=int,
+        default=None,
+        help="closed-loop rate search: pick the lowest QP whose coded "
+        "frame fits this many bytes (bisection over real coder sizes)",
     )
     enc.add_argument(
         "--intra-smoothing",
