@@ -248,11 +248,16 @@ def cmd_decode(args: argparse.Namespace) -> None:
         else:
             from nanohevc_tpu.models.wavefront import decode_frame
 
+            from nanohevc_tpu.runtime.bitstream import parse_bitstream
+
             frame = decode_frame(bitstream)
+            params = parse_bitstream(bitstream).get("params", {})
+            depth = 8 + params.get("bit_depth_luma_minus8", 0)
             with open(args.output, "wb") as f:
-                f.write(frame.to_yuv420p())
+                f.write(frame.to_yuv420p(bit_depth=depth))
+            suffix = "" if depth == 8 else f", {depth}-bit 16le samples"
             print(f"Decoded: {args.input} -> {args.output} "
-                  f"({frame.width}x{frame.height})")
+                  f"({frame.width}x{frame.height}{suffix})")
     except ValueError as e:
         print(f"Error: {e}", file=sys.stderr)
         sys.exit(1)

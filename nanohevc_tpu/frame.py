@@ -95,12 +95,17 @@ class Frame:
             Plane.from_buffer(buffer[ys + us : ys + 2 * us], uh, uw),
         )
 
-    def to_yuv420p(self) -> bytes:
-        """Serialize back to raw planar YUV420p bytes."""
+    def to_yuv420p(self, bit_depth: int = 8) -> bytes:
+        """Serialize back to raw planar YUV420p bytes.
+
+        bit_depth > 8 writes 16-bit little-endian samples (the yuv420p
+        10le-style layout); 8 writes one byte per sample.
+        """
+        dt = np.uint8 if bit_depth <= 8 else np.dtype("<u2")
         return (
-            self.y.data.astype(np.uint8).tobytes()
-            + self.u.data.astype(np.uint8).tobytes()
-            + self.v.data.astype(np.uint8).tobytes()
+            self.y.data.astype(dt).tobytes()
+            + self.u.data.astype(dt).tobytes()
+            + self.v.data.astype(dt).tobytes()
         )
 
     def __repr__(self) -> str:

@@ -394,7 +394,8 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                     dequant_rescale=rescale,
                     intra_smoothing=smoothing and name == "Y",
                 )
-                out.write(np.asarray(plane).astype(np.uint8).tobytes())
+                dt = np.uint8 if bit_depth <= 8 else np.dtype("<u2")
+                out.write(np.asarray(plane).astype(dt).tobytes())
             n_written += 1
     return n_written
 

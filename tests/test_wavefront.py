@@ -187,6 +187,31 @@ class TestDecoder:
                 getattr(decoded, p).data, getattr(recon, p).data
             ), p
 
+    def test_10bit_cli_decode_writes_16le(self, tmp_path, capsys):
+        """A 10-bit stream decodes to 16-bit-LE YUV, not truncated u8."""
+        from nanohevc_tpu.cli import main
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.frame import Frame
+        from nanohevc_tpu.models.wavefront import encode_frame_closed_loop
+
+        rng = np.random.default_rng(9)
+        frame = Frame.zeros(16, 16, dtype=np.int16)
+        frame.y.data[...] = rng.integers(0, 1024, (16, 16))
+        frame.u.data[...] = rng.integers(0, 1024, (8, 8))
+        frame.v.data[...] = rng.integers(0, 1024, (8, 8))
+        recon, bs = encode_frame_closed_loop(
+            frame, EncoderConfig(block_size=8, qp=20, bit_depth=10)
+        )
+        p = tmp_path / "b10.bin"
+        p.write_bytes(bs)
+        out = tmp_path / "b10.yuv"
+        main(["decode", str(p), "-o", str(out)])
+        assert "10-bit" in capsys.readouterr().out
+        got = np.frombuffer(out.read_bytes(), np.dtype("<u2"))[: 16 * 16]
+        assert np.array_equal(
+            got.reshape(16, 16), recon.y.data.astype(np.uint16)
+        )
+
     def test_pps_fields_roundtrip(self):
         from nanohevc_tpu.runtime.bitstream import (
             assemble_bitstream,
