@@ -126,6 +126,22 @@ class TestSequenceRateControl:
         out = tmp_path / "dec.yuv"
         assert decode_sequence(str(bs), str(out)) == n
 
+    def test_open_loop_rate_control_honors_runtime_qp(self, tmp_path):
+        """Open loop routes to the XLA path (fused kernels bake QP);
+        the controller's QP changes must reach the device encode."""
+        from nanohevc_tpu.models.sequence import encode_sequence
+
+        w, h, n = 64, 32, 8
+        src = tmp_path / "seq.yuv"
+        self._write_seq(src, w, h, n, seed=5)
+        bs = tmp_path / "seq.bin"
+        res = encode_sequence(
+            str(src), w, h, n, EncoderConfig(block_size=8, qp=6),
+            str(bs), batch=2, target_bpp=0.2,
+        )
+        rc = res.stats["rate_control"]
+        assert rc["qp_final"] > 6, rc
+
     def test_fixed_qp_unaffected(self, tmp_path):
         """No target_bpp -> byte-identical to the pre-rate-control path."""
         from nanohevc_tpu.models.sequence import encode_sequence
