@@ -51,6 +51,7 @@ def decide_modes(
     mode_set: str,
     decision: str,
     smoothing: bool = False,
+    bit_depth: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pick the best intra mode per block.
 
@@ -68,7 +69,9 @@ def decide_modes(
     from nanohevc_tpu.ops.intra import mode_filter_flags
 
     flags = mode_filter_flags(n) if smoothing else None
-    refs_f = ops.smooth_refs(refs, n) if smoothing and n > 4 else refs
+    refs_f = (
+        ops.smooth_refs(refs, n, bit_depth) if smoothing and n > 4 else refs
+    )
     dc = ops.dc_predict(refs, n)                 # DC always unfiltered
     pl = ops.planar_predict(
         refs_f if (flags is not None and flags[PLANAR_MODE]) else refs, n
@@ -201,7 +204,8 @@ def encode_plane_full(
     # HEVC boundary fill is 1 << (bit_depth - 1); 128 at 8-bit (parity)
     refs = ops.extract_refs(src, n, boundary=1 << (bit_depth - 1))
     pred, modes = decide_modes(
-        blocks, refs, n, mode_set, decision, smoothing=intra_smoothing
+        blocks, refs, n, mode_set, decision, smoothing=intra_smoothing,
+        bit_depth=bit_depth,
     )
     res = blocks - pred
     coeff = ops.forward_transform(res, use_dst)

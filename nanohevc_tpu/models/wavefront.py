@@ -262,7 +262,7 @@ def encode_planes_closed_loop(
             refs = _read_refs_skewed(s_bot, r_sp, d, n, nby, boundary, bx)
             pred, modes = decide_modes(
                 blocks_slot, refs, n, mode_set, decision,
-                smoothing=intra_smoothing,
+                smoothing=intra_smoothing, bit_depth=bit_depth,
             )
             levels, rec_blocks = _code_residual(
                 blocks_slot, pred, qp, n, use_dst, bit_depth, dequant_rescale
@@ -452,7 +452,8 @@ def decode_plane(
         d, bx, ok, res_slot, modes_slot = xs
         refs = _read_refs_skewed(s_bot, r_sp, d, n, nby, boundary, bx)
         pred = predict_by_mode_mm(
-            refs, n, modes_slot, smoothing=intra_smoothing
+            refs, n, modes_slot, smoothing=intra_smoothing,
+            bit_depth=bit_depth,
         )
         rec = jnp.clip(pred + res_slot, 0, (1 << bit_depth) - 1)
         s_bot, r_sp = _write_bufs_skewed(

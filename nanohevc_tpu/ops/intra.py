@@ -48,14 +48,23 @@ def mode_filter_flags(n: int):
     return flags
 
 
-def smooth_refs(refs: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[1 2 1]/4 reference-sample filter (spec 8.4.4.2.3) on the
-    combined (nb, 4N+2) layout.
+def smooth_refs(
+    refs: jnp.ndarray, n: int, bit_depth: int = 8, strong: bool = True
+) -> jnp.ndarray:
+    """Reference-sample filter (spec 8.4.4.2.3) on the combined
+    (nb, 4N+2) layout.
 
-    The boundary path runs bottom-left -> corner -> top-right; interior
-    samples take (prev + 2*cur + next + 2) >> 2, the corner averages
-    its two path neighbors (top[1], left[1]), and the two path
-    endpoints (top[2N], left[2N]) pass through unfiltered.
+    Normal filter: the boundary path runs bottom-left -> corner ->
+    top-right; interior samples take (prev + 2*cur + next + 2) >> 2,
+    the corner averages its two path neighbors (top[1], left[1]), and
+    the two path endpoints (top[2N], left[2N]) pass unfiltered.
+
+    Strong (bilinear) filter, 32x32 only: when both boundary arms are
+    near-linear (|end + corner - 2*mid| < 1 << (bit_depth - 5)), the
+    interior is replaced by the bilinear ramp between the corner and
+    the arm's far end — the spec's strong_intra_smoothing, decided
+    per block on device (`strong=True` mirrors
+    sps_strong_intra_smoothing_enable_flag = 1).
     """
     top, left = _split_refs(refs, n)                     # (nb, 2N+1) each
     corner = top[:, 0:1]
@@ -69,10 +78,35 @@ def smooth_refs(refs: jnp.ndarray, n: int) -> jnp.ndarray:
         body = (prev + 2 * cur + nxt + 2) >> 2           # arr[1..2N-1]
         return jnp.concatenate([fc, body, arr[:, -1:]], axis=1)
 
-    return jnp.concatenate([filt(top), filt(left)], axis=1)
+    f_top, f_left = filt(top), filt(left)
+
+    if strong and n == 32:
+        thresh = 1 << (bit_depth - 5)
+        flat_t = (
+            jnp.abs(corner + top[:, 2 * n : 2 * n + 1] - 2 * top[:, n : n + 1])
+            < thresh
+        )
+        flat_l = (
+            jnp.abs(corner + left[:, 2 * n : 2 * n + 1] - 2 * left[:, n : n + 1])
+            < thresh
+        )
+        use_strong = flat_t & flat_l                     # (nb, 1)
+        x = jnp.arange(2 * n - 1, dtype=jnp.int32)[None, :]   # samples 1..2N-1
+
+        def bilinear(arr):
+            end = arr[:, 2 * n : 2 * n + 1]
+            ramp = ((2 * n - 1 - x) * corner + (x + 1) * end + n) >> (
+                n.bit_length()
+            )                                            # (+32) >> 6 at N=32
+            return jnp.concatenate([corner, ramp, end], axis=1)
+
+        f_top = jnp.where(use_strong, bilinear(top), f_top)
+        f_left = jnp.where(use_strong, bilinear(left), f_left)
+
+    return jnp.concatenate([f_top, f_left], axis=1)
 
 
-def cat_refs(refs: jnp.ndarray, n: int) -> jnp.ndarray:
+def cat_refs(refs: jnp.ndarray, n: int, bit_depth: int = 8) -> jnp.ndarray:
     """(nb, 4N+2) -> (nb, 2*(4N+2)): raw refs beside smoothed refs.
 
     Pairs with cat_weight_matrices: each mode's weights live in the
@@ -80,7 +114,7 @@ def cat_refs(refs: jnp.ndarray, n: int) -> jnp.ndarray:
     costs one extra filter pass and a 2x-K matmul — no per-mode
     branching, no gathers.
     """
-    return jnp.concatenate([refs, smooth_refs(refs, n)], axis=1)
+    return jnp.concatenate([refs, smooth_refs(refs, n, bit_depth)], axis=1)
 
 
 def cat_weight_matrices(n: int):
@@ -183,7 +217,7 @@ def angular_predict_mm(refs: jnp.ndarray, n: int, mode: int) -> jnp.ndarray:
 
 def predict_by_mode_mm(
     refs: jnp.ndarray, n: int, mode_idx: jnp.ndarray,
-    smoothing: bool = False,
+    smoothing: bool = False, bit_depth: int = 8,
 ) -> jnp.ndarray:
     """Gather-free per-block mode application.
 
@@ -197,7 +231,7 @@ def predict_by_mode_mm(
     nb = refs.shape[0]
     if smoothing and n > 4:
         flags = mode_filter_flags(n)
-        refs_in = cat_refs(refs, n)
+        refs_in = cat_refs(refs, n, bit_depth)
         w_all = jnp.asarray(cat_weight_matrices(n))            # (33, 2R, N*N)
         pl_refs = (
             refs_in[:, refs.shape[1]:] if flags[PLANAR_MODE] else refs

@@ -48,6 +48,72 @@ class TestFilter:
         assert (np.asarray(ops.smooth_refs(refs, 8)) == 77).all()
 
 
+class TestStrongSmoothing:
+    """Bilinear strong filter at 32x32 (spec 8.4.4.2.3 second clause)."""
+
+    def _refs(self, top_arm, left_arm, corner):
+        n = 32
+        refs = np.empty((1, 4 * n + 2), np.int32)
+        refs[0, 0] = corner
+        refs[0, 1 : 2 * n + 1] = top_arm
+        refs[0, 2 * n + 1] = corner
+        refs[0, 2 * n + 2 :] = left_arm
+        return refs
+
+    def test_linear_arms_take_bilinear_ramp(self):
+        n = 32
+        # perfectly linear arms: corner 0 -> end 128 over 64 samples
+        arm = np.round(np.linspace(2, 128, 2 * n)).astype(np.int32)
+        refs = self._refs(arm, arm, 0)
+        out = np.asarray(ops.smooth_refs(jnp.asarray(refs), n))
+        x = np.arange(2 * n - 1)
+        want_ramp = ((2 * n - 1 - x) * 0 + (x + 1) * arm[-1] + n) >> 6
+        got_top = out[0, 1 : 2 * n]
+        assert np.array_equal(got_top, want_ramp)
+        assert out[0, 0] == 0                      # corner raw
+        assert out[0, 2 * n] == arm[-1]            # far end raw
+
+    def test_nonflat_arms_keep_121(self):
+        n = 32
+        rng = np.random.default_rng(4)
+        arm = rng.integers(0, 256, 2 * n).astype(np.int32)
+        refs = self._refs(arm, arm, 200)           # jagged: fails flatness
+        got = np.asarray(ops.smooth_refs(jnp.asarray(refs), n))
+        want = numpy_smooth(refs, n)
+        assert np.array_equal(got, want)
+
+    def test_threshold_scales_with_bit_depth(self):
+        n = 32
+        # curvature 16: flat at 10-bit (thresh 32), NOT flat at 8-bit
+        # (thresh 8) -> different filters
+        arm = np.round(np.linspace(2, 128, 2 * n)).astype(np.int32)
+        arm_mid_bumped = arm.copy()
+        arm_mid_bumped[n - 1] -= 8   # |end + corner - 2*mid| = 16ish
+        refs = self._refs(arm_mid_bumped, arm_mid_bumped, 0)
+        out8 = np.asarray(ops.smooth_refs(jnp.asarray(refs), n, bit_depth=8))
+        out10 = np.asarray(ops.smooth_refs(jnp.asarray(refs), n, bit_depth=10))
+        assert not np.array_equal(out8, out10)
+
+    def test_closed_loop_32_roundtrip(self):
+        from nanohevc_tpu.models.wavefront import (
+            decode_plane,
+            encode_plane_closed_loop,
+        )
+
+        rng = np.random.default_rng(5)
+        # smooth gradient content: triggers the strong filter
+        yy, xx = np.mgrid[0:64, 0:96]
+        plane = jnp.asarray((xx + yy).astype(np.int32) % 250)
+        enc = encode_plane_closed_loop(
+            plane, jnp.int32(24), n=32, intra_smoothing=True
+        )
+        dec = decode_plane(
+            enc["levels"], enc["modes"], jnp.int32(24), n=32,
+            height=64, width=96, intra_smoothing=True,
+        )
+        assert np.array_equal(np.asarray(dec), np.asarray(enc["recon"]))
+
+
 class TestFilterFlags:
     def test_8x8_filters_exactly_planar_2_18_34(self):
         flags = ops.mode_filter_flags(8)
