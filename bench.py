@@ -12,8 +12,8 @@ Rows (each timed separately and gated on bit-exactness):
   4. full_yuv — 1080p 4:2:0 frame (Y 8x8 + U/V 4x4 chroma) through the
      slab kernels; gated on whole-plane equality vs the XLA path.
   5. uhd_4k — 2160x3840 luma, 8x8 dc_planar slab; 256-block oracle gate.
-  6. wavefront — 1080p closed-loop (reconstruction-fed prediction) on
-     the fused Pallas wavefront kernel, 16-frame diagonal interleave;
+  6. wavefront — 1080p closed-loop (reconstruction-fed prediction),
+     32-frame diagonal interleave;
      gated on whole-output equality vs the XLA scan path (itself
      verified against the sequential per-block oracle in
      tests/test_wavefront.py).
@@ -266,13 +266,13 @@ def run_bench() -> None:
         encode_planes_closed_loop,
     )
 
-    frames_wf = jnp.stack([plane] * 16)
+    frames_wf = jnp.stack([plane] * 32)
     wf_fn = jax.jit(
         lambda ps: encode_planes_closed_loop(ps, jnp.int32(QP), n=8)
     )
     wf = time_batch(
         wf_fn, frames_wf, lambda out: int(out["recon"][0, 0, 0]),
-        H * W * 16, 8.0, "wavefront",
+        H * W * 32, 8.0, "wavefront",
     )
     # Cross-implementation gate: the batched XLA scan vs the fused
     # Pallas wavefront kernel (each independently oracle-pinned in
