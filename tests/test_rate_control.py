@@ -158,6 +158,26 @@ class TestSequenceRateControl:
         assert b1.read_bytes() == b2.read_bytes()
 
 
+class TestTargetBytesCLI:
+    def test_encode_target_bytes(self, tmp_path, capsys):
+        from nanohevc_tpu.cli import main
+
+        rng = np.random.default_rng(6)
+        w, h = 32, 32
+        src = tmp_path / "in.yuv"
+        src.write_bytes(
+            rng.integers(0, 256, w * h * 3 // 2, dtype=np.uint8)
+            .astype(np.uint8).tobytes()
+        )
+        bs = tmp_path / "out.bin"
+        main(["encode", str(src), "--width", str(w), "--height", str(h),
+              "--pipeline", "closed-loop", "--target-bytes", "700",
+              "--bitstream", str(bs)])
+        text = capsys.readouterr().out
+        assert "Rate search: QP" in text
+        assert bs.stat().st_size <= 700
+
+
 class TestSliceQP:
     def test_slice_qp_overrides_pps(self):
         """A frame coded at QP 30 inside a stream whose PPS says 22
