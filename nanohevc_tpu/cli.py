@@ -89,6 +89,29 @@ def cmd_encode(args: argparse.Namespace) -> None:
     frame = Frame.from_yuv420p(data[:expected], args.height, args.width)
     print(f"Loaded: {args.input} ({args.width}x{args.height})")
 
+    if args.target_bytes and args.pipeline == "predict":
+        print(
+            "Error: --target-bytes needs a coded bitstream to measure; "
+            "use --pipeline full or closed-loop",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    def _rate_search(config):
+        """Pick the QP that fits the byte budget on the chosen pipeline."""
+        from dataclasses import replace
+
+        from nanohevc_tpu.models.rate_control import find_frame_qp
+
+        qp, size = find_frame_qp(
+            frame, config, args.target_bytes,
+            closed_loop=args.pipeline == "closed-loop",
+        )
+        print(f"Rate search: QP {qp} fits {args.target_bytes} bytes "
+              f"({size} coded)")
+        args.qp = qp
+        return replace(config, qp=qp)
+
     if args.pipeline == "closed-loop":
         from nanohevc_tpu.models.wavefront import encode_frame_closed_loop
 
@@ -101,15 +124,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             intra_smoothing=args.intra_smoothing,
         )
         if args.target_bytes:
-            from dataclasses import replace
-
-            from nanohevc_tpu.models.rate_control import find_frame_qp
-
-            qp, size = find_frame_qp(frame, config, args.target_bytes)
-            print(f"Rate search: QP {qp} fits {args.target_bytes} bytes "
-                  f"({size} coded)")
-            config = replace(config, qp=qp)
-            args.qp = qp
+            config = _rate_search(config)
         recon, bitstream = encode_frame_closed_loop(frame, config)
         if args.output:
             with open(args.output, "wb") as f:
@@ -151,6 +166,8 @@ def cmd_encode(args: argparse.Namespace) -> None:
             dequant_rescale=args.dequant_rescale,
             intra_smoothing=args.intra_smoothing,
         )
+        if args.target_bytes:
+            config = _rate_search(config)
         recon, info = encode_frame_full(frame, config)
         if args.output:
             with open(args.output, "wb") as f:
@@ -173,6 +190,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
                 args.width, args.height, args.qp, planes, modes,
                 bit_depth=config.bit_depth, scan=config.scan,
                 dequant_rescale=config.dequant_rescale,
+                intra_smoothing=config.intra_smoothing,
             )
             with open(args.bitstream, "wb") as f:
                 f.write(bs)
@@ -310,8 +328,9 @@ def main(argv: list[str] | None = None) -> None:
         "--target-bytes",
         type=int,
         default=None,
-        help="closed-loop rate search: pick the lowest QP whose coded "
-        "frame fits this many bytes (bisection over real coder sizes)",
+        help="rate search: pick the lowest QP whose coded frame fits "
+        "this many bytes (bisection over real coder sizes; full and "
+        "closed-loop pipelines)",
     )
     enc.add_argument(
         "--intra-smoothing",

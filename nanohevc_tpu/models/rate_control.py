@@ -54,6 +54,7 @@ def frame_coded_bytes(frame, config: EncoderConfig, closed_loop: bool = True) ->
             frame.width, frame.height, config.qp, planes, modes,
             bit_depth=config.bit_depth, scan=config.scan,
             dequant_rescale=config.dequant_rescale,
+            intra_smoothing=config.intra_smoothing,
         )
     )
 

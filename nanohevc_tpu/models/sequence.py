@@ -305,7 +305,7 @@ def encode_sequence(
             "target_bpp": target_bpp,
             "achieved_bpp": (bytes_written - valid_bytes) * 8
             / ((done - start) * width * height),
-            "qp_start": config.qp if start == 0 else (saved_qp or config.qp),
+            "qp_start": config.qp if start == 0 or saved_qp is None else saved_qp,
             "qp_final": cur_qp,
         }
     return SequenceResult(

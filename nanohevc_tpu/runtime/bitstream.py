@@ -217,6 +217,26 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
                 f"corrupt slice header: nb={nb} mlen={mlen} plen={plen} "
                 f"exceed payload ({len(payload)} bytes)"
             )
+        # Bound the decode allocation by the geometry the SPS implies
+        # (param sets precede slices in every assembled stream): a
+        # corrupt nb must not drive a multi-GiB np.empty at large block
+        # sizes, where the flat 1<<22 cap alone still allows ~16 GiB.
+        params = planes.get("params", {})
+        if "width" in params and "height" in params:
+            pw, ph = params["width"], params["height"]
+            if plane_id > 0:  # 4:2:0 chroma planes at half resolution
+                pw, ph = (pw + 1) // 2, (ph + 1) // 2
+            max_nb = -(-pw // block_size) * -(-ph // block_size)
+            if nb > max_nb:
+                raise entropy.CorruptBitstreamError(
+                    f"corrupt slice header: nb={nb} exceeds the "
+                    f"{max_nb} blocks implied by the SPS geometry"
+                )
+        elif nb * block_size * block_size > (1 << 26):
+            raise entropy.CorruptBitstreamError(
+                f"corrupt slice header: nb={nb} at block_size="
+                f"{block_size} with no SPS geometry in stream"
+            )
         modes = None
         off = 20
         if mlen:

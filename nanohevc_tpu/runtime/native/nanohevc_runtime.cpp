@@ -480,6 +480,38 @@ size_t wrap_nal(uint8_t nal_type, const uint8_t* payload, size_t n,
   return buf.size();
 }
 
+// Run fn(t) for t in [0, n_tasks) on at most hardware_concurrency()
+// threads.  The tile count can come from an untrusted stream header,
+// so it must never translate into unbounded thread creation; and a
+// std::thread that fails to start must not throw across the C ABI —
+// on any spawn failure the spawned workers are joined and every task
+// is (re-)run serially, which is safe because tasks are idempotent
+// (each tile deterministically writes only its own output range).
+template <typename Fn>
+void run_tiled(int32_t n_tasks, const Fn& fn) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int32_t n_workers = static_cast<int32_t>(hw ? hw : 4);
+  if (n_workers > n_tasks) n_workers = n_tasks;
+  if (n_workers > 1) {
+    std::vector<std::thread> workers;
+    workers.reserve(n_workers);
+    try {
+      for (int32_t w = 0; w < n_workers; ++w) {
+        workers.emplace_back([w, n_workers, n_tasks, &fn]() {
+          for (int32_t t = w; t < n_tasks; t += n_workers) fn(t);
+        });
+      }
+    } catch (...) {
+      for (auto& th : workers) th.join();
+      for (int32_t t = 0; t < n_tasks; ++t) fn(t);
+      return;
+    }
+    for (auto& th : workers) th.join();
+    return;
+  }
+  for (int32_t t = 0; t < n_tasks; ++t) fn(t);
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -540,15 +572,13 @@ int64_t nhr_encode_levels_tiled(const int32_t* levels, int64_t nb,
   if (nb > 0 && n_tiles > nb) n_tiles = static_cast<int32_t>(nb);
   if (nb == 0) n_tiles = 1;
   std::vector<std::vector<uint8_t>> bufs(n_tiles);
-  std::vector<std::thread> workers;
   int64_t per = n_tiles > 0 ? (nb + n_tiles - 1) / n_tiles : 0;
-  for (int32_t t = 0; t < n_tiles; ++t) {
+  run_tiled(n_tiles, [&](int32_t t) {
+    bufs[t].clear();
     int64_t b0 = t * per;
     int64_t blocks = b0 < nb ? std::min<int64_t>(per, nb - b0) : 0;
-    workers.emplace_back(encode_tile, levels + b0 * ncoef, blocks, ncoef,
-                         &bufs[t]);
-  }
-  for (auto& w : workers) w.join();
+    encode_tile(levels + b0 * ncoef, blocks, ncoef, &bufs[t]);
+  });
   std::vector<uint8_t> buf;
   buf.push_back(static_cast<uint8_t>(n_tiles & 0xff));
   buf.push_back(static_cast<uint8_t>((n_tiles >> 8) & 0xff));
@@ -589,21 +619,18 @@ int64_t nhr_decode_levels_tiled(const uint8_t* data, int64_t nbytes,
   if (table_end + total + 4 > nbytes) return 1;
   int64_t per = (nb + n_tiles - 1) / n_tiles;
   std::vector<int> rcs(n_tiles, 0);
-  std::vector<std::thread> workers;
+  std::vector<int64_t> offs(n_tiles);
   int64_t off = table_end;
   for (int32_t t = 0; t < n_tiles; ++t) {
-    int64_t b0 = t * per;
-    int64_t blocks = b0 < nb ? std::min<int64_t>(per, nb - b0) : 0;
-    const uint8_t* p = data + off;
-    size_t n = static_cast<size_t>(lens[t]);
-    int32_t* o = out + b0 * ncoef;
-    workers.emplace_back(
-        [p, n, blocks, ncoef, o, &rcs, t]() {
-          rcs[t] = decode_tile(p, n, blocks, ncoef, o);
-        });
+    offs[t] = off;
     off += lens[t];
   }
-  for (auto& w : workers) w.join();
+  run_tiled(n_tiles, [&](int32_t t) {
+    int64_t b0 = t * per;
+    int64_t blocks = b0 < nb ? std::min<int64_t>(per, nb - b0) : 0;
+    rcs[t] = decode_tile(data + offs[t], static_cast<size_t>(lens[t]),
+                         blocks, ncoef, out + b0 * ncoef);
+  });
   for (int rc : rcs)
     if (rc != 0) return rc;
   uint32_t want = 0;
@@ -665,6 +692,6 @@ void nhr_block_bits(const int32_t* levels, int64_t nb, int32_t ncoef,
   }
 }
 
-int32_t nhr_version() { return 14; }
+int32_t nhr_version() { return 15; }
 
 }  // extern "C"
