@@ -1,0 +1,133 @@
+"""ctypes bindings for the HEVC-conformant CABAC entropy stage.
+
+The spec-true counterpart of runtime/entropy.py: the ITU-T H.265 9.3
+arithmetic engine (rangeTabLPS state machine, 9.3.2.2 context init)
+with the 7.3.8.11 residual_coding syntax, implemented in
+native/hevc_cabac.cpp.  The reference project declares this capability
+(reference README.md:97-100, cabac.py) and never ships it.
+
+Levels enter in per-block RASTER layout — the syntax applies its own
+spec 6.5.3 scan, selected per block (0 diag / 1 horizontal /
+2 vertical), which is how the mode-dependent scan rule reaches the
+coded stream.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import subprocess
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
+_NATIVE_DIR = Path(__file__).parent / "native"
+_SRC = _NATIVE_DIR / "hevc_cabac.cpp"
+_LIB = _NATIVE_DIR / "libhevc_cabac.so"
+_STAMP = _NATIVE_DIR / ".hevc_build_hash"
+
+
+def build_hevc_runtime(force: bool = False) -> Path:
+    """Compile (if the source changed) and return the library path."""
+    h = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    if not force and _LIB.exists() and _STAMP.exists() and _STAMP.read_text() == h:
+        return _LIB
+    subprocess.run(
+        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-Wall",
+         "-o", str(_LIB), str(_SRC)],
+        check=True, capture_output=True, text=True,
+    )
+    _STAMP.write_text(h)
+    return _LIB
+
+
+@lru_cache(maxsize=1)
+def _lib() -> ctypes.CDLL:
+    lib = ctypes.CDLL(str(build_hevc_runtime()))
+    lib.nhc_encode_plane.restype = ctypes.c_int64
+    lib.nhc_encode_plane.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.nhc_decode_plane.restype = ctypes.c_int32
+    lib.nhc_decode_plane.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
+    return lib
+
+
+def _scan_indices(scan_idx, nb: int) -> np.ndarray:
+    arr = np.asarray(scan_idx, dtype=np.uint8)
+    if arr.ndim == 0:
+        arr = np.full(nb, int(arr), np.uint8)
+    if arr.shape != (nb,):
+        raise ValueError(f"scan_idx must be scalar or ({nb},), got {arr.shape}")
+    if arr.size and arr.max() > 2:
+        raise ValueError("scan_idx values must be 0 (diag), 1 (horizontal) "
+                         "or 2 (vertical)")
+    return np.ascontiguousarray(arr)
+
+
+def encode_plane_cabac(
+    levels: np.ndarray, scan_idx, *, c_idx: int = 0, qp: int = 22
+) -> bytes:
+    """(nb, N, N) raster-layout int32 levels -> spec-CABAC payload.
+
+    scan_idx: per-block spec scan (scalar or (nb,) array).  c_idx 0
+    codes with the luma context set, >0 with chroma.  qp seeds the
+    9.3.2.2 context initialization (I-slice initType).
+    """
+    levels = np.ascontiguousarray(levels, dtype=np.int32)
+    nb, n, n2 = levels.shape
+    if n != n2 or n not in (4, 8, 16, 32):
+        raise ValueError(f"levels must be (nb, N, N), N in 4/8/16/32: "
+                         f"{levels.shape}")
+    lg2 = n.bit_length() - 1
+    si = _scan_indices(scan_idx, nb)
+    cap = levels.size * 4 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    r = _lib().nhc_encode_plane(
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nb, lg2,
+        int(c_idx), si.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(qp), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if r < 0:
+        raise RuntimeError(f"CABAC encoder failed: rc={r}")
+    return out[:r].tobytes()
+
+
+def decode_plane_cabac(
+    data: bytes, nb: int, n: int, scan_idx, *, c_idx: int = 0, qp: int = 22
+) -> np.ndarray:
+    """Inverse of encode_plane_cabac -> (nb, N, N) raster levels.
+
+    Raises CorruptBitstreamError when the payload does not parse (the
+    terminate bins delimit each block, so truncation and garbage are
+    detected structurally)."""
+    if n not in (4, 8, 16, 32):
+        raise ValueError(f"bad block size {n}")
+    lg2 = n.bit_length() - 1
+    si = _scan_indices(scan_idx, nb)
+    buf = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
+    out = np.empty((nb, n * n), dtype=np.int32)
+    rc = _lib().nhc_decode_plane(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data), nb,
+        lg2, int(c_idx), si.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(qp), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        reasons = {
+            2: "last-significant position out of range",
+            3: "decoder overran the coded bytes",
+            4: "terminate bin mismatch (truncated or desynchronized)",
+        }
+        raise CorruptBitstreamError(
+            f"corrupt CABAC payload: {reasons.get(rc, rc)}"
+        )
+    return out.reshape(nb, n, n)
