@@ -120,6 +120,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             qp=args.qp,
             mode_set="all" if args.mode_search else "dc_planar",
             decision="satd" if args.mode_search else "energy",
+            scan=args.scan,
             dequant_rescale=args.dequant_rescale,
             intra_smoothing=args.intra_smoothing,
         )
@@ -162,6 +163,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             qp=args.qp,
             mode_set="all" if args.mode_search else "dc_planar",
             decision="satd" if args.mode_search else "energy",
+            scan=args.scan,
             rdo_cbf=args.rdo,
             dequant_rescale=args.dequant_rescale,
             intra_smoothing=args.intra_smoothing,
@@ -211,6 +213,7 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
         qp=args.qp,
         mode_set="all" if args.mode_search else "dc_planar",
         decision="satd" if args.mode_search else "energy",
+        scan=args.scan,
         rdo_cbf=args.rdo,
         dequant_rescale=args.dequant_rescale,
         intra_smoothing=args.intra_smoothing,
@@ -302,6 +305,14 @@ def main(argv: list[str] | None = None) -> None:
     enc.add_argument("-o", "--output", help="Output reconstructed YUV file")
     enc.add_argument("--qp", type=int, default=22, help="Quantization parameter 0-51")
     enc.add_argument(
+        "--scan",
+        choices=("diag", "horizontal", "vertical", "mode"),
+        default="diag",
+        help="coefficient scan: spec 6.5.3 order applied uniformly, or "
+        "'mode' for the spec 7.4.9.11 mode-dependent selection at "
+        "4x4/8x8 (vertical for modes 6-14, horizontal for 22-30)",
+    )
+    enc.add_argument(
         "--pipeline",
         choices=("predict", "full", "closed-loop"),
         default="predict",
@@ -357,6 +368,12 @@ def main(argv: list[str] | None = None) -> None:
     seq.add_argument("--qp", type=int, default=22)
     seq.add_argument("--batch", type=int, default=8, help="Frames per device batch")
     seq.add_argument("--bitstream", required=True, help="Output bitstream path")
+    seq.add_argument(
+        "--scan",
+        choices=("diag", "horizontal", "vertical", "mode"),
+        default="diag",
+        help="coefficient scan order (see encode --scan)",
+    )
     seq.add_argument("--mode-search", action="store_true")
     seq.add_argument("--rdo", action="store_true",
                      help="RD-optimized coded-block-flag decision")

@@ -29,6 +29,9 @@ class EncoderConfig:
     is_intra: bool = True
     mode_set: str = "dc_planar"
     decision: str = "energy"
+    # Coefficient scan: "diag"/"horizontal"/"vertical" (spec 6.5.3
+    # group orders applied uniformly) or "mode" (spec 7.4.9.11
+    # mode-dependent selection at 4x4/8x8, diag above).
     scan: str = "diag"
     rdo_cbf: bool = False   # RD-optimized coded-block-flag decision
     # Reference-sample smoothing (spec 8.4.4.2.3): [1 2 1] filter on
@@ -49,7 +52,7 @@ class EncoderConfig:
             raise ValueError(f"unknown mode_set: {self.mode_set}")
         if self.decision not in ("energy", "satd", "sad"):
             raise ValueError(f"unknown decision: {self.decision}")
-        if self.scan not in ("diag", "horizontal", "vertical"):
+        if self.scan not in ("diag", "horizontal", "vertical", "mode"):
             raise ValueError(f"unknown scan: {self.scan}")
 
     def chroma_block_size(self) -> int:

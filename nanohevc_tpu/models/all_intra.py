@@ -214,7 +214,7 @@ def encode_plane_full(
     rec_res = ops.inverse_transform(deq, use_dst)
     recon_blocks = _clip(pred + rec_res, bit_depth)
 
-    packed = ops.scan_pack(levels, scan)
+    packed = ops.scan_pack(levels, scan, modes=modes)
     if rdo_cbf:
         pred_clip = _clip(pred, bit_depth)
         d_coded = ops.residual_energy_blocks(blocks - recon_blocks)
@@ -273,12 +273,12 @@ def encode_plane_fast(
         dequant_rescale=dequant_rescale,
     )
     levels_blocks = ops.tile_plane(out["levels_slab"], n)
-    packed = ops.scan_pack(levels_blocks, scan)
     modes_plane = out["modes_slab"]
     dc_wins = modes_plane[::n, ::n].reshape(-1)          # 1 = DC per block
     from nanohevc_tpu.ops.intra import DC_MODE, PLANAR_MODE
 
     modes = jnp.where(dc_wins == 1, DC_MODE, PLANAR_MODE).astype(jnp.int32)
+    packed = ops.scan_pack(levels_blocks, scan, modes=modes)
     return {
         "recon": out["recon"],   # trailing edge rows already source-filled
         "levels": packed,
@@ -310,8 +310,8 @@ def encode_plane_fast_modes(
         dequant_rescale=dequant_rescale,
     )
     levels_blocks = ops.tile_plane(out["levels_slab"], n)
-    packed = ops.scan_pack(levels_blocks, scan)
     modes = out["modes_slab"][::n, ::n].reshape(-1).astype(jnp.int32)
+    packed = ops.scan_pack(levels_blocks, scan, modes=modes)
     return {
         "recon": out["recon"],
         "levels": packed,

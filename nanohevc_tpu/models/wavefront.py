@@ -221,13 +221,28 @@ def encode_planes_closed_loop(
     XLA scan (the kernel's bit-exactness oracle).
     """
     b, h, w = planes.shape
-    nby, nbx = h // n, w // n
-    ndiag = nby + nbx - 1
     src = planes.astype(jnp.int32)
+    # Pad non-block-aligned planes to block multiples by edge
+    # replication (the conformance-window pattern: every pixel is
+    # coded, the decoder crops back to the SPS dimensions) so
+    # decode(encode(x)) is pixel-exact at ANY geometry — previously
+    # ragged edges kept source pixels the decoder could only zero.
+    hp, wp = -(-h // n) * n, -(-w // n) * n
+    if (hp, wp) != (h, w):
+        src = jnp.concatenate(
+            [src, jnp.broadcast_to(src[:, h - 1 : h, :], (b, hp - h, w))],
+            axis=1,
+        ) if hp != h else src
+        src = jnp.concatenate(
+            [src, jnp.broadcast_to(src[:, :, w - 1 : w], (b, hp, wp - w))],
+            axis=2,
+        ) if wp != w else src
+    nby, nbx = hp // n, wp // n
+    ndiag = nby + nbx - 1
     blocks = jax.vmap(lambda p: ops.tile_plane(p, n))(src)   # (B, nb, N, N)
     bx_t, ok_t = _skew_tables(nby, nbx)
     boundary = 1 << (bit_depth - 1)
-    rep_w, rep_h = (nbx * n == w), (nby * n == h)
+    rep_w, rep_h = True, True   # padded planes are always block-aligned
     from nanohevc_tpu.models.all_intra import decide_modes
     from nanohevc_tpu.kernels.wavefront_slab import (
         wavefront_encode_blocks,
@@ -284,17 +299,16 @@ def encode_planes_closed_loop(
     # 50k-index scatter lowered to serial updates and cost 20+ ms per
     # frame), then untile/pack over the whole batch at once.
     rec_raster = _deskew_blocks(rec_all, nby, nbx)        # (B, nb, N, N)
-    recon = jax.vmap(lambda rc: ops.untile_plane(rc, h, w))(rec_raster)
+    recon = jax.vmap(lambda rc: ops.untile_plane(rc, hp, wp))(rec_raster)
     lev_raster = _deskew_blocks(levels_all, nby, nbx)
-    levels = ops.scan_pack(
-        lev_raster.reshape(b * nby * nbx, n, n), scan
-    ).reshape(b, nby * nbx, n * n)
     modes = _deskew_blocks(modes_all, nby, nbx)           # (B, nb)
-    out_recon = recon
-    if nby * n != h or nbx * n != w:
-        mask = jnp.zeros((h, w), bool).at[: nby * n, : nbx * n].set(True)
-        out_recon = jnp.where(mask[None], recon, src)
-    return {"recon": out_recon, "levels": levels, "modes": modes}
+    levels = ops.scan_pack(
+        lev_raster.reshape(b * nby * nbx, n, n), scan,
+        modes=modes.reshape(b * nby * nbx),
+    ).reshape(b, nby * nbx, n * n)
+    # crop the conformance-window pad; levels/modes keep the padded
+    # block geometry (the decoder re-derives it from the SPS dims)
+    return {"recon": recon[:, :h, :w], "levels": levels, "modes": modes}
 
 
 def encode_plane_closed_loop(plane: jnp.ndarray, qp, **kwargs):
@@ -358,10 +372,10 @@ def decode_frame(bitstream: bytes):
 
     Self-contained: geometry, QP, bit depth, scan order and the
     dequant-rescale flag all come from the SPS/PPS in the stream.  The
-    per-plane block size is carried by each slice header.  Regions not
-    covered by full blocks decode as 0 (the encoder keeps source
-    pixels there but they are never coded); use block-aligned
-    dimensions for full-frame fidelity.
+    per-plane block size is carried by each slice header.  Non-block-
+    aligned dimensions are fully coded via the encoder's edge-replicated
+    padding and cropped here (conformance window), so the decode is
+    pixel-exact at any geometry.
     """
     import numpy as np
 
@@ -427,19 +441,23 @@ def decode_plane(
     (nb, N*N) scan-packed levels + (nb,) modes -> (H, W) recon, by the
     same wavefront in reverse: dequantize/inverse-transform the
     residual, predict each diagonal from the already-reconstructed
-    neighbors, add, clip.
+    neighbors, add, clip.  Non-block-aligned dimensions decode the
+    encoder's edge-replicated padded geometry and crop back (the
+    conformance window), so decode == encoder recon at any H x W.
     """
-    nby, nbx = height // n, width // n
+    hp, wp = -(-height // n) * n, -(-width // n) * n
+    nby, nbx = hp // n, wp // n
     ndiag = nby + nbx - 1
     res_blocks = ops.inverse_transform(
         ops.dequantize(
-            ops.scan_unpack(levels, scan), qp, n, rescale=dequant_rescale
+            ops.scan_unpack(levels, scan, modes=modes), qp, n,
+            rescale=dequant_rescale,
         ),
         use_dst,
     )                                                     # (nb, N, N)
     bx_t, ok_t = _skew_tables(nby, nbx)
     boundary = 1 << (bit_depth - 1)
-    rep_w, rep_h = (nbx * n == width), (nby * n == height)
+    rep_w, rep_h = True, True   # padded geometry is block-aligned
     from nanohevc_tpu.ops.intra import predict_by_mode_mm
 
     res_sk = _skew_blocks(res_blocks[None], nby, nbx)[0]
@@ -465,4 +483,4 @@ def decode_plane(
         step, _skew_buffers(nby, nbx, n), (d_j, bx_j, ok_j, res_sk, modes_sk)
     )
     rec_raster = _deskew_blocks(rec_all[None], nby, nbx)[0]
-    return ops.untile_plane(rec_raster, height, width)
+    return ops.untile_plane(rec_raster, hp, wp)[:height, :width]

@@ -42,7 +42,11 @@ def sharded_fast_supported(config: EncoderConfig, mesh: Mesh,
 
     n = config.block_size if is_luma else config.chroma_block_size()
     space = mesh.shape["space"]
-    if height % (space * n) != 0:
+    # Row shards must be whole block-rows; make_sharded_fast_encoder
+    # pads the frame bottom to a space*n multiple (replicating the last
+    # row, which matches the kernels' own bottom-clamp semantics), so
+    # any whole-block-row height shards — 1080p at space 2/4 included.
+    if height % n != 0:
         return None
     if supports_fast_path(config, n, width, is_luma):
         return "slab"
@@ -115,7 +119,6 @@ def make_sharded_fast_encoder(config: EncoderConfig, mesh: Mesh,
             recon = out["recon"][n : n + h]
             levels = out["levels_slab"][n : n + h]
             modes_slab = out["modes_slab"][n : n + h]
-            packed = ops.scan_pack(ops.tile_plane(levels, n), config.scan)
             mode_vals = modes_slab[::n, ::n].reshape(-1)
             if variant == "slab":
                 modes = jnp.where(
@@ -123,6 +126,9 @@ def make_sharded_fast_encoder(config: EncoderConfig, mesh: Mesh,
                 ).astype(jnp.int32)
             else:
                 modes = mode_vals.astype(jnp.int32)
+            packed = ops.scan_pack(
+                ops.tile_plane(levels, n), config.scan, modes=modes
+            )
             return recon, packed, modes
 
         recon, levels, modes = jax.vmap(one)(planes)
@@ -142,6 +148,33 @@ def make_sharded_fast_encoder(config: EncoderConfig, mesh: Mesh,
 
     @jax.jit
     def run(planes):
-        return inner(planes.astype(jnp.int32))
+        planes = planes.astype(jnp.int32)
+        f, h, w = planes.shape
+        # Pad the frame bottom so every row shard is a whole number of
+        # block-rows (1080 has 135 8x8 block-rows: not splittable at
+        # space=2 without this).  Replicating the last row matches the
+        # kernels' own bottom clamp, so padded output is bit-exact to
+        # the single-device kernels; the pad blocks are cropped below.
+        unit = space * n
+        h_pad = -(-h // unit) * unit
+        if h_pad != h:
+            planes = jnp.concatenate(
+                [
+                    planes,
+                    jnp.broadcast_to(
+                        planes[:, h - 1 : h, :], (f, h_pad - h, w)
+                    ),
+                ],
+                axis=1,
+            )
+        out = inner(planes)
+        if h_pad != h:
+            nb = (h // n) * (w // n)
+            out = {
+                "recon": out["recon"][:, :h],
+                "levels": out["levels"][:, :nb],
+                "modes": out["modes"][:, :nb],
+            }
+        return out
 
     return run

@@ -31,7 +31,7 @@ import numpy as np
 from nanohevc_tpu.runtime import entropy
 
 
-_SCAN_IDX = {"diag": 0, "horizontal": 1, "vertical": 2}
+_SCAN_IDX = {"diag": 0, "horizontal": 1, "vertical": 2, "mode": 3}
 _SCAN_NAME = {v: k for k, v in _SCAN_IDX.items()}
 
 
@@ -58,6 +58,18 @@ def assemble_bitstream(
     parallel host threads (self-describing; the parser needs no
     knowledge of the count).
     """
+    if scan == "mode":
+        # mode-dependent unpack needs the per-block modes at decode
+        # time, so they must be coded for every plane in the stream
+        missing = [
+            p for p in plane_levels
+            if not (plane_modes and p in plane_modes)
+        ]
+        if missing:
+            raise ValueError(
+                "scan='mode' requires coded per-block modes for every "
+                f"plane; missing for {missing}"
+            )
     first = next(iter(plane_levels.values()))
     pk = dict(
         bit_depth=bit_depth,

@@ -145,50 +145,59 @@ DEQUANT_SCALE = [40, 45, 51, 57, 64, 72]
 # Coefficient scan orders (spec 6.5.3)
 # ---------------------------------------------------------------------------
 
-def _diag_scan_4x4() -> np.ndarray:
-    """Up-right diagonal scan positions inside a 4x4 sub-block."""
+def _diag_positions(size: int) -> list:
+    """Up-right diagonal (y, x) traversal of a size x size grid."""
     pos = []
-    for d in range(7):            # anti-diagonals y+x = d, scanned up-right
-        y = min(d, 3)
-        while y >= 0 and d - y <= 3:
+    for d in range(2 * size - 1):
+        y = min(d, size - 1)
+        while y >= 0 and d - y <= size - 1:
             pos.append((y, d - y))
             y -= 1
-    return np.array(pos, dtype=np.int32)      # (16, 2), in scanning order
+    return pos
 
 
-def diag_scan_order(size: int) -> np.ndarray:
-    """Flattened scan index table: scan position -> raster index.
+def _horiz_positions(size: int) -> list:
+    """Row-major (y, x) traversal (spec 6.5.3 horizontal scan element)."""
+    return [(y, x) for y in range(size) for x in range(size)]
 
-    HEVC scans transform blocks in 4x4 coefficient groups, with both the
-    group traversal and the within-group traversal following the up-right
-    diagonal order.  For size == 4 this degenerates to the plain 4x4
-    diagonal scan.  Returns an int32 array of length size*size such that
-    packed[k] = flat_block[order[k]].
+
+def _vert_positions(size: int) -> list:
+    """Column-major (y, x) traversal (spec 6.5.3 vertical scan element)."""
+    return [(y, x) for x in range(size) for y in range(size)]
+
+
+def _group_scan_order(size: int, positions) -> np.ndarray:
+    """Spec 6.5.3 two-level scan: 4x4 coefficient groups traversed in
+    `positions` order, and positions inside each group in the same
+    order.  For size == 4 this degenerates to the plain 4x4 scan.
+    Returns int32 length size*size with packed[k] = flat[order[k]].
     """
-    sub = _diag_scan_4x4()
+    sub = positions(4)
     if size == 4:
-        return (sub[:, 0] * 4 + sub[:, 1]).astype(np.int32)
-    ng = size // 4
-    groups = []
-    for d in range(2 * ng - 1):
-        gy = min(d, ng - 1)
-        while gy >= 0 and d - gy <= ng - 1:
-            groups.append((gy, d - gy))
-            gy -= 1
+        return np.array([y * 4 + x for y, x in sub], dtype=np.int32)
     order = np.empty(size * size, dtype=np.int32)
     k = 0
-    for gy, gx in groups:
+    for gy, gx in positions(size // 4):
         for sy, sx in sub:
             order[k] = (gy * 4 + sy) * size + (gx * 4 + sx)
             k += 1
     return order
 
 
+def diag_scan_order(size: int) -> np.ndarray:
+    """Spec 6.5.3 up-right diagonal scan (group-based above 4x4)."""
+    return _group_scan_order(size, _diag_positions)
+
+
 def horizontal_scan_order(size: int) -> np.ndarray:
-    """Row-major scan (HEVC horizontal scan for near-vertical intra modes)."""
-    return np.arange(size * size, dtype=np.int32)
+    """Spec 6.5.3 horizontal scan: 4x4 groups row-major, positions
+    inside each group row-major (NOT a plain raster scan above 4x4).
+    Selected for near-vertical intra modes 22-30 at 4x4/8x8."""
+    return _group_scan_order(size, _horiz_positions)
 
 
 def vertical_scan_order(size: int) -> np.ndarray:
-    """Column-major scan (HEVC vertical scan for near-horizontal modes)."""
-    return np.arange(size * size, dtype=np.int32).reshape(size, size).T.reshape(-1)
+    """Spec 6.5.3 vertical scan: 4x4 groups column-major, positions
+    inside each group column-major.  Selected for near-horizontal
+    intra modes 6-14 at 4x4/8x8."""
+    return _group_scan_order(size, _vert_positions)

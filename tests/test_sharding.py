@@ -191,8 +191,11 @@ class TestBatchEncoderKernelRouting:
             block_size=8, qp=22, mode_set="all", decision="satd"
         )
         assert sharded_fast_supported(cfg_ms, mesh, 32, 64) == "mode_search"
-        # shard height not a block multiple -> XLA fallback
-        assert sharded_fast_supported(cfg, mesh, 40, 64) is None
+        # 5 block-rows over 2 shards: covered via bottom padding (the
+        # round-2 gap: 1080p silently fell back at space=2)
+        assert sharded_fast_supported(cfg, mesh, 40, 64) == "slab"
+        # ragged height (not a block multiple) still falls back
+        assert sharded_fast_supported(cfg, mesh, 44, 64) is None
 
     @needs_8
     @pytest.mark.parametrize("space", [1, 2])
@@ -247,3 +250,40 @@ class TestSpatialFastPath:
             assert np.array_equal(
                 np.asarray(out["modes"][f]), np.asarray(want["modes"])
             ), f
+
+    @needs_8
+    @pytest.mark.parametrize("variant", ["slab", "mode_search"])
+    def test_sharded_nondivisible_height_matches_unsharded(self, variant):
+        """Block-row counts that don't divide the space axis (the 1080p
+        case: 135 rows of 8 over 2 shards) pad at the frame bottom and
+        stay bit-exact with the single-device kernels."""
+        from nanohevc_tpu.models.all_intra import (
+            encode_plane_fast,
+            encode_plane_fast_modes,
+        )
+        from nanohevc_tpu.parallel.spatial import make_sharded_fast_encoder
+
+        mesh = make_mesh(space=2)
+        rng = np.random.default_rng(11)
+        h = 40   # 5 block-rows: NOT divisible by space*n = 16
+        frames = rng.integers(0, 256, (4, h, 64)).astype(np.int32)
+        if variant == "slab":
+            config = EncoderConfig(block_size=8, qp=25)
+            single = lambda p: encode_plane_fast(p, 25, n=8)
+        else:
+            config = EncoderConfig(
+                block_size=8, qp=25, mode_set="all", decision="satd"
+            )
+            single = lambda p: encode_plane_fast_modes(p, 25, n=8)
+        fn = make_sharded_fast_encoder(config, mesh, variant)
+        planes = jax.device_put(
+            jnp.asarray(frames), NamedSharding(mesh, P("frame", "space", None))
+        )
+        out = fn(planes)
+        assert out["recon"].shape == (4, h, 64)
+        for f in range(4):
+            want = single(jnp.asarray(frames[f]))
+            for k in ("recon", "levels", "modes"):
+                assert np.array_equal(
+                    np.asarray(out[k][f]), np.asarray(want[k])
+                ), (k, f)

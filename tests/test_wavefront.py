@@ -256,6 +256,32 @@ class TestFrameCodec:
         assert np.array_equal(decoded.u.data, recon.u.data)
         assert np.array_equal(decoded.v.data, recon.v.data)
 
+    @pytest.mark.parametrize("h,w", [(52, 61), (40, 60), (33, 35)])
+    def test_nonaligned_dims_decode_pixel_exact(self, h, w):
+        """decode(encode(x)) == encoder recon at ANY geometry: ragged
+        edges are coded via edge-replicated padding and cropped back
+        (conformance window) — the round-2 decoder zeroed them."""
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.frame import Frame
+        from nanohevc_tpu.models.wavefront import (
+            decode_frame,
+            encode_frame_closed_loop,
+        )
+
+        rng = np.random.default_rng(13)
+        frame = Frame.zeros(h, w, dtype=np.int16)
+        frame.y.data[...] = rng.integers(0, 256, (h, w))
+        frame.u.data[...] = rng.integers(0, 256, frame.u.data.shape)
+        frame.v.data[...] = rng.integers(0, 256, frame.v.data.shape)
+        config = EncoderConfig(block_size=8, qp=24)
+        recon, bitstream = encode_frame_closed_loop(frame, config)
+        decoded = decode_frame(bitstream)
+        assert np.array_equal(decoded.y.data, recon.y.data)
+        assert np.array_equal(decoded.u.data, recon.u.data)
+        assert np.array_equal(decoded.v.data, recon.v.data)
+        # the ragged edge is genuinely coded now, not source passthrough
+        assert recon.y.data.shape == (h, w)
+
     def test_cli_encode_decode_roundtrip(self, tmp_path, capsys):
         from nanohevc_tpu.cli import main
         from nanohevc_tpu.models.all_intra import create_test_frame
