@@ -121,6 +121,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             mode_set="all" if args.mode_search else "dc_planar",
             decision="satd" if args.mode_search else "energy",
             scan=args.scan,
+            entropy_coder=args.entropy,
             dequant_rescale=args.dequant_rescale,
             intra_smoothing=args.intra_smoothing,
         )
@@ -164,6 +165,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             mode_set="all" if args.mode_search else "dc_planar",
             decision="satd" if args.mode_search else "energy",
             scan=args.scan,
+            entropy_coder=args.entropy,
             rdo_cbf=args.rdo,
             dequant_rescale=args.dequant_rescale,
             intra_smoothing=args.intra_smoothing,
@@ -193,6 +195,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
                 bit_depth=config.bit_depth, scan=config.scan,
                 dequant_rescale=config.dequant_rescale,
                 intra_smoothing=config.intra_smoothing,
+                entropy_coder=config.entropy_coder,
             )
             with open(args.bitstream, "wb") as f:
                 f.write(bs)
@@ -214,6 +217,7 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
         mode_set="all" if args.mode_search else "dc_planar",
         decision="satd" if args.mode_search else "energy",
         scan=args.scan,
+        entropy_coder=args.entropy,
         rdo_cbf=args.rdo,
         dequant_rescale=args.dequant_rescale,
         intra_smoothing=args.intra_smoothing,
@@ -313,6 +317,13 @@ def main(argv: list[str] | None = None) -> None:
         "4x4/8x8 (vertical for modes 6-14, horizontal for 22-30)",
     )
     enc.add_argument(
+        "--entropy",
+        choices=("range", "cabac"),
+        default="range",
+        help="slice entropy engine: framework range coder (default) or "
+        "the spec 9.3 CABAC with 7.3.8.11 residual_coding syntax",
+    )
+    enc.add_argument(
         "--pipeline",
         choices=("predict", "full", "closed-loop"),
         default="predict",
@@ -373,6 +384,12 @@ def main(argv: list[str] | None = None) -> None:
         choices=("diag", "horizontal", "vertical", "mode"),
         default="diag",
         help="coefficient scan order (see encode --scan)",
+    )
+    seq.add_argument(
+        "--entropy",
+        choices=("range", "cabac"),
+        default="range",
+        help="slice entropy engine (see encode --entropy)",
     )
     seq.add_argument("--mode-search", action="store_true")
     seq.add_argument("--rdo", action="store_true",

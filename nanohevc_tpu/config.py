@@ -44,6 +44,10 @@ class EncoderConfig:
     # coded residuals 2^(log2 N - 2) at N > 4; True restores the
     # correct gain (better recon quality), False keeps bit parity.
     dequant_rescale: bool = False
+    # Entropy engine for slice level payloads: "range" (framework
+    # adaptive binary range coder, tiled/threaded) or "cabac" (spec
+    # 9.3 arithmetic engine with 7.3.8.11 residual_coding syntax).
+    entropy_coder: str = "range"
 
     def __post_init__(self):
         if self.block_size not in (4, 8, 16, 32):
@@ -54,6 +58,8 @@ class EncoderConfig:
             raise ValueError(f"unknown decision: {self.decision}")
         if self.scan not in ("diag", "horizontal", "vertical", "mode"):
             raise ValueError(f"unknown scan: {self.scan}")
+        if self.entropy_coder not in ("range", "cabac"):
+            raise ValueError(f"unknown entropy_coder: {self.entropy_coder}")
 
     def chroma_block_size(self) -> int:
         """U/V block size: half of luma, floor 4 (parity: __main__.py:156-158)."""

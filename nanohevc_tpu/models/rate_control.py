@@ -55,6 +55,7 @@ def frame_coded_bytes(frame, config: EncoderConfig, closed_loop: bool = True) ->
             bit_depth=config.bit_depth, scan=config.scan,
             dequant_rescale=config.dequant_rescale,
             intra_smoothing=config.intra_smoothing,
+            entropy_coder=config.entropy_coder,
         )
     )
 

@@ -180,11 +180,14 @@ def encode_sequence(
     from nanohevc_tpu.runtime.bitstream import _SCAN_IDX
 
     def _params(which: int) -> bytes:
+        from nanohevc_tpu.runtime.bitstream import _ENTROPY_IDX
+
         return entropy.write_params(
             width, height, config.block_size, config.qp, which,
             bit_depth=config.bit_depth, scan_idx=_SCAN_IDX[config.scan],
             rescale_flag=int(config.dequant_rescale),
             smoothing_flag=int(config.intra_smoothing),
+            entropy_idx=_ENTROPY_IDX[config.entropy_coder],
         )
 
     sw = Stopwatch()
@@ -253,7 +256,9 @@ def encode_sequence(
                             "U": c_modes[i],
                             "V": c_modes[batch + i],
                         },
+                        scan=config.scan,
                         entropy_tiles=entropy_tiles,
+                        entropy_coder=config.entropy_coder,
                     )
                     # assemble_bitstream repeats parameter sets per call;
                     # strip them here (sequence carries one global set)
@@ -408,16 +413,23 @@ def decode_sequence_levels(bitstream_path: str) -> List[Dict[str, dict]]:
     with open(bitstream_path, "rb") as f:
         data = f.read()
 
-    # split into access units on AUD NALs
+    # split into access units on AUD NALs; the sequence's single global
+    # parameter-set group is replayed in front of every frame so each
+    # parse sees the SPS geometry bound and the PPS entropy/scan flags
     frames: List[Dict[str, dict]] = []
     current: List[bytes] = []
+    param_nals: List[bytes] = []
     for nal_type, payload in _split_nals(data):
         if nal_type == NAL_AUD:
             if current:
-                frames.append(parse_bitstream(b"".join(current)))
+                frames.append(
+                    parse_bitstream(b"".join(param_nals + current))
+                )
             current = []
+        elif nal_type in (E.NAL_VPS, E.NAL_SPS, E.NAL_PPS):
+            param_nals.append(E.wrap_nal(nal_type, payload))
         elif nal_type == E.NAL_SLICE:
             current.append(E.wrap_nal(nal_type, payload))
     if current:
-        frames.append(parse_bitstream(b"".join(current)))
+        frames.append(parse_bitstream(b"".join(param_nals + current)))
     return frames

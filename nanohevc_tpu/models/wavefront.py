@@ -363,6 +363,7 @@ def encode_frame_closed_loop(frame, config) -> tuple:
         bit_depth=config.bit_depth, scan=config.scan,
         dequant_rescale=config.dequant_rescale,
         intra_smoothing=config.intra_smoothing,
+        entropy_coder=config.entropy_coder,
     )
     return recon, bitstream
 
@@ -396,6 +397,14 @@ def decode_frame(bitstream: bytes):
     scan = _SCAN_NAME[params.get("scan_idx", 0)]
     rescale = params.get("dequant_rescale", False)
     smoothing = params.get("intra_smoothing", False)
+    missing = {"Y", "U", "V"} - parsed.keys()
+    if missing:
+        from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
+        raise CorruptBitstreamError(
+            f"stream is missing plane slices: {sorted(missing)} "
+            "(truncated, or slice NALs corrupted)"
+        )
     recon = Frame.zeros(height, width, dtype=np.int16)
     for name, dst, (h, w) in (
         ("Y", recon.y, (height, width)),

@@ -24,6 +24,7 @@ prediction reads source neighbors the decoder does not have
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -33,6 +34,59 @@ from nanohevc_tpu.runtime import entropy
 
 _SCAN_IDX = {"diag": 0, "horizontal": 1, "vertical": 2, "mode": 3}
 _SCAN_NAME = {v: k for k, v in _SCAN_IDX.items()}
+_ENTROPY_IDX = {"range": 0, "cabac": 1}
+_ENTROPY_NAME = {v: k for k, v in _ENTROPY_IDX.items()}
+
+
+@lru_cache(maxsize=None)
+def _np_scan_orders(n: int) -> "np.ndarray":
+    """(3, n*n) int64: scan position -> raster index per scanIdx."""
+    from nanohevc_tpu.tables import (
+        diag_scan_order,
+        horizontal_scan_order,
+        vertical_scan_order,
+    )
+
+    return np.stack([
+        diag_scan_order(n).astype(np.int64),
+        horizontal_scan_order(n).astype(np.int64),
+        vertical_scan_order(n).astype(np.int64),
+    ])
+
+
+def _np_mode_scan_idx(modes: np.ndarray, n: int) -> np.ndarray:
+    """Spec 7.4.9.11 scanIdx per block (numpy twin of ops.mode_scan_idx)."""
+    modes = np.asarray(modes)
+    if n not in (4, 8):
+        return np.zeros(modes.shape, np.int64)
+    sel = np.zeros(modes.shape, np.int64)
+    sel[(modes >= 6) & (modes <= 14)] = 2    # near-horizontal -> vertical
+    sel[(modes >= 22) & (modes <= 30)] = 1   # near-vertical -> horizontal
+    return sel
+
+
+def _slice_scan_sel(scan: str, modes, nb: int, n: int) -> np.ndarray:
+    """(nb,) per-block scanIdx for one slice under the stream's scan."""
+    if scan == "mode":
+        if modes is None:
+            raise ValueError("scan='mode' needs per-block modes")
+        return _np_mode_scan_idx(np.asarray(modes), n)
+    return np.full(nb, _SCAN_IDX[scan], np.int64)
+
+
+def _np_unpack(packed: np.ndarray, sel: np.ndarray, n: int) -> np.ndarray:
+    """(nb, n*n) scan-packed + per-block scanIdx -> (nb, n, n) raster."""
+    orders = _np_scan_orders(n)
+    inv = np.argsort(orders, axis=1)
+    flat = np.take_along_axis(np.asarray(packed), inv[sel], axis=1)
+    return flat.reshape(-1, n, n)
+
+
+def _np_pack(raster: np.ndarray, sel: np.ndarray) -> np.ndarray:
+    """(nb, n, n) raster + per-block scanIdx -> (nb, n*n) scan-packed."""
+    nb, n, _ = raster.shape
+    orders = _np_scan_orders(n)
+    return np.take_along_axis(raster.reshape(nb, n * n), orders[sel], axis=1)
 
 
 def assemble_bitstream(
@@ -46,6 +100,7 @@ def assemble_bitstream(
     dequant_rescale: bool = False,
     intra_smoothing: bool = False,
     entropy_tiles: int = 1,
+    entropy_coder: str = "range",
 ) -> bytes:
     """Build a full frame bitstream.
 
@@ -56,8 +111,13 @@ def assemble_bitstream(
     stream decodes without out-of-band config.  entropy_tiles > 1
     splits each level payload into independent context chunks coded on
     parallel host threads (self-describing; the parser needs no
-    knowledge of the count).
+    knowledge of the count).  entropy_coder="cabac" codes each
+    slice's levels with the spec 9.3 CABAC engine and the 7.3.8.11
+    residual_coding syntax (runtime/hevc.py) instead of the framework
+    range coder; the choice is signalled in the PPS.
     """
+    if entropy_coder not in _ENTROPY_IDX:
+        raise ValueError(f"unknown entropy_coder: {entropy_coder}")
     if scan == "mode":
         # mode-dependent unpack needs the per-block modes at decode
         # time, so they must be coded for every plane in the stream
@@ -76,6 +136,7 @@ def assemble_bitstream(
         scan_idx=_SCAN_IDX[scan],
         rescale_flag=int(dequant_rescale),
         smoothing_flag=int(intra_smoothing),
+        entropy_idx=_ENTROPY_IDX[entropy_coder],
     )
     out = [
         entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, first[1], qp, 0, **pk)),
@@ -90,8 +151,18 @@ def assemble_bitstream(
             modes = np.ascontiguousarray(plane_modes[name], dtype=np.int32)
             mpay = entropy.encode_levels(modes.reshape(nb, 1))
         else:
+            modes = None
             mpay = b""
-        payload = entropy.encode_levels(levels, tiles=entropy_tiles)
+        if entropy_coder == "cabac":
+            from nanohevc_tpu.runtime import hevc
+
+            sel = _slice_scan_sel(scan, modes, nb, block_size)
+            raster = _np_unpack(levels, sel, block_size)
+            payload = hevc.encode_plane_cabac(
+                raster, sel, c_idx=0 if name == "Y" else 1, qp=qp
+            )
+        else:
+            payload = entropy.encode_levels(levels, tiles=entropy_tiles)
         header = struct.pack(
             "<HHIIII", plane_ids[name], block_size, qp, nb,
             len(mpay), len(payload),
@@ -191,13 +262,19 @@ def parse_params(payload: bytes) -> dict:
             "chroma_format_idc": r.ue(),
             "bit_depth_luma_minus8": r.ue(),
         }
-    return {
+    pps = {
         "type": "pps",
         "qp": r.ue(),
         "scan_idx": r.ue(),
         "dequant_rescale": bool(r.ue()),
         "intra_smoothing": bool(r.ue()),
+        # Streams from before the CABAC option lack this field; their
+        # rbsp stop bit reads as ue()==0 == "range", the old default.
+        "entropy_idx": r.ue(),
     }
+    if pps["entropy_idx"] not in _ENTROPY_NAME:
+        raise ValueError(f"bad PPS entropy_idx: {pps['entropy_idx']}")
+    return pps
 
 
 def parse_bitstream(data: bytes) -> Dict[str, dict]:
@@ -254,9 +331,25 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
         if mlen:
             modes = entropy.decode_levels(payload[off : off + mlen], nb, 1)[:, 0]
             off += mlen
-        levels = entropy.decode_levels(
-            payload[off : off + plen], nb, block_size * block_size
-        )
+        if _ENTROPY_NAME.get(params.get("entropy_idx", 0)) == "cabac":
+            from nanohevc_tpu.runtime import hevc
+
+            scan = _SCAN_NAME.get(params.get("scan_idx", 0), "diag")
+            if scan == "mode" and modes is None:
+                raise entropy.CorruptBitstreamError(
+                    "mode-dependent scan signalled but slice carries "
+                    "no modes payload"
+                )
+            sel = _slice_scan_sel(scan, modes, nb, block_size)
+            raster = hevc.decode_plane_cabac(
+                payload[off : off + plen], nb, block_size, sel,
+                c_idx=0 if plane_id == 0 else 1, qp=qp,
+            )
+            levels = _np_pack(raster, sel)
+        else:
+            levels = entropy.decode_levels(
+                payload[off : off + plen], nb, block_size * block_size
+            )
         planes[names[plane_id]] = {
             "levels": levels,
             "modes": modes,

@@ -159,3 +159,105 @@ class TestRateVsFrameworkCoder:
 
 
 PINNED_DIGEST = "3942aed1db9067c9"
+
+
+class TestContainerIntegration:
+    """entropy_coder='cabac' through the full bitstream container."""
+
+    def _frame(self, h=48, w=64):
+        from nanohevc_tpu.frame import Frame
+
+        y, x = np.mgrid[0:h, 0:w]
+        fr = Frame.zeros(h, w, dtype=np.int16)
+        fr.y.data[...] = (x * 3 + y * 2) % 256
+        fr.u.data[...] = 100
+        fr.v.data[...] = 150
+        return fr
+
+    @pytest.mark.parametrize("scan", ["diag", "mode"])
+    def test_closed_loop_cabac_decodes_pixel_exact(self, scan):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.wavefront import (
+            decode_frame,
+            encode_frame_closed_loop,
+        )
+
+        cfg = EncoderConfig(
+            block_size=8, qp=26, scan=scan, entropy_coder="cabac",
+            mode_set="all", decision="satd",
+        )
+        fr = self._frame()
+        recon, bs = encode_frame_closed_loop(fr, cfg)
+        dec = decode_frame(bs)
+        assert np.array_equal(dec.y.data, recon.y.data)
+        assert np.array_equal(dec.u.data, recon.u.data)
+        assert np.array_equal(dec.v.data, recon.v.data)
+
+    def test_pps_signals_cabac(self):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.wavefront import encode_frame_closed_loop
+        from nanohevc_tpu.runtime.bitstream import parse_bitstream
+
+        cfg = EncoderConfig(block_size=8, qp=26, entropy_coder="cabac")
+        _, bs = encode_frame_closed_loop(self._frame(), cfg)
+        params = parse_bitstream(bs)["params"]
+        assert params["entropy_idx"] == 1
+
+    def test_cabac_not_larger_than_range_on_smooth_content(self):
+        """The spec residual syntax (last-sig position + CSBF skip)
+        beats the framework coder on typical content; pin that the
+        container path keeps the advantage."""
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.wavefront import encode_frame_closed_loop
+
+        sizes = {}
+        for coder in ("range", "cabac"):
+            cfg = EncoderConfig(block_size=8, qp=26, entropy_coder=coder)
+            _, bs = encode_frame_closed_loop(self._frame(), cfg)
+            sizes[coder] = len(bs)
+        assert sizes["cabac"] <= sizes["range"]
+
+    def test_cabac_corrupt_slice_raises(self):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.wavefront import (
+            decode_frame,
+            encode_frame_closed_loop,
+        )
+        from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
+        cfg = EncoderConfig(block_size=8, qp=26, entropy_coder="cabac")
+        _, bs = encode_frame_closed_loop(self._frame(), cfg)
+        bad = bytearray(bs)
+        bad[len(bad) // 2] ^= 0xFF        # flip bits mid-slice
+        try:
+            dec = decode_frame(bytes(bad))
+            # a lucky flip can still parse; decoded pixels then differ
+        except (CorruptBitstreamError, ValueError):
+            pass
+
+    def test_sequence_cabac_roundtrip(self, tmp_path):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.sequence import (
+            decode_sequence,
+            encode_sequence,
+        )
+
+        h, w, nf = 32, 48, 3
+        rng = np.random.default_rng(4)
+        raw = b"".join(
+            rng.integers(0, 256, h * w * 3 // 2, dtype=np.uint8).tobytes()
+            for _ in range(nf)
+        )
+        src = tmp_path / "seq.yuv"
+        src.write_bytes(raw)
+        bs_path = tmp_path / "seq.bin"
+        cfg = EncoderConfig(block_size=8, qp=28, entropy_coder="cabac")
+        encode_sequence(
+            str(src), w, h, nf, cfg, str(bs_path),
+            batch=2, closed_loop=True,
+        )
+        out_path = tmp_path / "seq_dec.yuv"
+        n = decode_sequence(str(bs_path), str(out_path))
+        assert n == nf
+        dec = out_path.read_bytes()
+        assert len(dec) == len(raw)
