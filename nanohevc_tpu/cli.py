@@ -119,7 +119,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             block_size=args.block_size,
             qp=args.qp,
             mode_set="all" if args.mode_search else "dc_planar",
-            decision="satd" if args.mode_search else "energy",
+            decision=args.decision or ("satd" if args.mode_search else "energy"),
             scan=args.scan,
             entropy_coder=args.entropy,
             dequant_rescale=args.dequant_rescale,
@@ -163,7 +163,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             block_size=args.block_size,
             qp=args.qp,
             mode_set="all" if args.mode_search else "dc_planar",
-            decision="satd" if args.mode_search else "energy",
+            decision=args.decision or ("satd" if args.mode_search else "energy"),
             scan=args.scan,
             entropy_coder=args.entropy,
             rdo_cbf=args.rdo,
@@ -215,7 +215,7 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
         block_size=args.block_size,
         qp=args.qp,
         mode_set="all" if args.mode_search else "dc_planar",
-        decision="satd" if args.mode_search else "energy",
+        decision=args.decision or ("satd" if args.mode_search else "energy"),
         scan=args.scan,
         entropy_coder=args.entropy,
         rdo_cbf=args.rdo,
@@ -317,6 +317,14 @@ def main(argv: list[str] | None = None) -> None:
         "4x4/8x8 (vertical for modes 6-14, horizontal for 22-30)",
     )
     enc.add_argument(
+        "--decision",
+        choices=("energy", "satd", "sad", "rd"),
+        default=None,
+        help="mode-decision cost override: rd = full rate-distortion "
+        "(SSE + lambda(QP)*bits per candidate through the real "
+        "transform/quant chain); default follows --mode-search",
+    )
+    enc.add_argument(
         "--entropy",
         choices=("range", "cabac"),
         default="range",
@@ -384,6 +392,12 @@ def main(argv: list[str] | None = None) -> None:
         choices=("diag", "horizontal", "vertical", "mode"),
         default="diag",
         help="coefficient scan order (see encode --scan)",
+    )
+    seq.add_argument(
+        "--decision",
+        choices=("energy", "satd", "sad", "rd"),
+        default=None,
+        help="mode-decision cost override (see encode --decision)",
     )
     seq.add_argument(
         "--entropy",

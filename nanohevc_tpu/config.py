@@ -20,7 +20,9 @@ class EncoderConfig:
                      energy, __main__.py:165-179)
       "all"        - full 35-mode search (planar, DC, angular 2-34)
     decision:
-      "energy" (SSE of prediction residual), "satd", or "sad"
+      "energy" (SSE of prediction residual), "satd", "sad", or "rd"
+      (true rate-distortion: SSE + lambda(QP) * bits per candidate
+      mode through the real transform/quant/recon chain)
     """
 
     block_size: int = 8
@@ -54,7 +56,7 @@ class EncoderConfig:
             raise ValueError(f"block_size must be 4/8/16/32, got {self.block_size}")
         if self.mode_set not in ("dc_planar", "all"):
             raise ValueError(f"unknown mode_set: {self.mode_set}")
-        if self.decision not in ("energy", "satd", "sad"):
+        if self.decision not in ("energy", "satd", "sad", "rd"):
             raise ValueError(f"unknown decision: {self.decision}")
         if self.scan not in ("diag", "horizontal", "vertical", "mode"):
             raise ValueError(f"unknown scan: {self.scan}")

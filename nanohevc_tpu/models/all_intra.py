@@ -44,6 +44,45 @@ def _cost(blocks: jnp.ndarray, pred: jnp.ndarray, decision: str) -> jnp.ndarray:
     return ops.sad_blocks(blocks, pred)
 
 
+def _rd_costs(
+    blocks: jnp.ndarray,
+    preds: jnp.ndarray,
+    n: int,
+    qp,
+    use_dst: bool,
+    bit_depth: int,
+    dequant_rescale: bool,
+    rd_lambda_scale: float,
+) -> jnp.ndarray:
+    """True rate-distortion cost per (block, candidate mode).
+
+    blocks (nb, N, N); preds (nb, M, N, N) -> (nb, M) float32 costs
+    SSE + lambda(QP) * bits, where each candidate's residual is pushed
+    through the real transform/quant/recon chain and its rate comes
+    from the calibrated device rate model (ops/rate.py, tracks the
+    shipped range coder).  lambda is the HEVC-style
+    0.57 * 2^((QP-12)/3) scaled by rd_lambda_scale — the same
+    operating point the rdo_cbf decision uses, so the two RD
+    mechanisms compose consistently.
+    """
+    nb, m = preds.shape[:2]
+    flat_pred = preds.reshape(nb * m, n, n)
+    res = (blocks[:, None] - preds).reshape(nb * m, n, n)
+    levels = ops.quantize(ops.forward_transform(res, use_dst), qp, n, True)
+    rec_res = ops.inverse_transform(
+        ops.dequantize(levels, qp, n, rescale=dequant_rescale), use_dst
+    )
+    recon = jnp.clip(flat_pred + rec_res, 0, (1 << bit_depth) - 1)
+    blk = jnp.broadcast_to(blocks[:, None], preds.shape).reshape(nb * m, n, n)
+    diff = (blk - recon).astype(jnp.float32)
+    sse = (diff * diff).sum(axis=(1, 2))
+    bits = ops.rate_model_bits_adaptive(ops.scan_pack(levels, "diag"))
+    lam = rd_lambda_scale * 0.57 * jnp.exp2(
+        (jnp.asarray(qp, jnp.float32) - 12.0) / 3.0
+    )
+    return (sse + lam * bits).reshape(nb, m)
+
+
 def decide_modes(
     blocks: jnp.ndarray,
     refs: jnp.ndarray,
@@ -52,6 +91,10 @@ def decide_modes(
     decision: str,
     smoothing: bool = False,
     bit_depth: int = 8,
+    qp=None,
+    use_dst: bool = False,
+    dequant_rescale: bool = False,
+    rd_lambda_scale: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pick the best intra mode per block.
 
@@ -65,9 +108,19 @@ def decide_modes(
     (8.4.4.2.3) to the modes its filter-flag rule selects (DC never,
     nothing at 4x4); the reference implementation has no smoothing at
     all, so this is opt-in and off by default for parity.
+
+    decision="rd" replaces the prediction-error proxy with the true RD
+    cost SSE + lambda(QP) * bits per candidate (each mode's residual
+    through the real transform/quant/recon chain, rate from the
+    calibrated coder model) — requires qp; use_dst/dequant_rescale
+    must match the pipeline so the measured distortion is the real
+    one.  Costlier than SATD (full chain x 35) but fully batched on
+    the MXU.
     """
     from nanohevc_tpu.ops.intra import mode_filter_flags
 
+    if decision == "rd" and qp is None:
+        raise ValueError("decision='rd' needs qp at decide_modes()")
     flags = mode_filter_flags(n) if smoothing else None
     refs_f = (
         ops.smooth_refs(refs, n, bit_depth) if smoothing and n > 4 else refs
@@ -76,8 +129,19 @@ def decide_modes(
     pl = ops.planar_predict(
         refs_f if (flags is not None and flags[PLANAR_MODE]) else refs, n
     )
-    cost_dc = _cost(blocks, dc, decision)
-    cost_pl = _cost(blocks, pl, decision)
+
+    def rd(preds):
+        return _rd_costs(
+            blocks, preds, n, qp, use_dst, bit_depth, dequant_rescale,
+            rd_lambda_scale,
+        )
+
+    if decision == "rd":
+        both = rd(jnp.stack([dc, pl], axis=1))
+        cost_dc, cost_pl = both[:, 0], both[:, 1]
+    else:
+        cost_dc = _cost(blocks, dc, decision)
+        cost_pl = _cost(blocks, pl, decision)
 
     if mode_set == "dc_planar":
         dc_wins = cost_dc <= cost_pl
@@ -114,7 +178,10 @@ def decide_modes(
         >> 5
     ).astype(jnp.int16)   # predictions fit int16; halves the HBM tensor
     preds = preds_flat.reshape(nb, 33, n, n)
-    costs_ang = _cost(blocks[:, None], preds.astype(jnp.int32), decision)
+    if decision == "rd":
+        costs_ang = rd(preds.astype(jnp.int32))
+    else:
+        costs_ang = _cost(blocks[:, None], preds.astype(jnp.int32), decision)
 
     costs = jnp.concatenate(
         [cost_pl[:, None], cost_dc[:, None], costs_ang], axis=1
@@ -205,7 +272,8 @@ def encode_plane_full(
     refs = ops.extract_refs(src, n, boundary=1 << (bit_depth - 1))
     pred, modes = decide_modes(
         blocks, refs, n, mode_set, decision, smoothing=intra_smoothing,
-        bit_depth=bit_depth,
+        bit_depth=bit_depth, qp=qp, use_dst=use_dst,
+        dequant_rescale=dequant_rescale, rd_lambda_scale=rd_lambda_scale,
     )
     res = blocks - pred
     coeff = ops.forward_transform(res, use_dst)

@@ -278,6 +278,7 @@ def encode_planes_closed_loop(
             pred, modes = decide_modes(
                 blocks_slot, refs, n, mode_set, decision,
                 smoothing=intra_smoothing, bit_depth=bit_depth,
+                qp=qp, use_dst=use_dst, dequant_rescale=dequant_rescale,
             )
             levels, rec_blocks = _code_residual(
                 blocks_slot, pred, qp, n, use_dst, bit_depth, dequant_rescale
