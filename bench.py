@@ -51,8 +51,15 @@ import time
 import numpy as np
 
 BASELINE_MPIX_S = 0.10  # reference full per-block pipeline, BASELINE.md
-H, W, QP = 1080, 1920, 22
-ATTEMPT_TIMEOUT_S = 1500
+# NANOHEVC_BENCH_SMOKE=1: tiny shapes / CPU-runnable structural check of
+# every row and gate (validates the bench itself, not performance).
+SMOKE = os.environ.get("NANOHEVC_BENCH_SMOKE") == "1"
+H, W, QP = (72, 128, 22) if SMOKE else (1080, 1920, 22)
+UHD_H, UHD_W = (144, 256) if SMOKE else (2160, 3840)
+GATE_H, GATE_W = (128, 256) if SMOKE else (512, 1024)
+SEQ_FRAMES = 3 if SMOKE else 120
+TARGET_SCALE = 0.02 if SMOKE else 1.0
+ATTEMPT_TIMEOUT_S = 2400
 ATTEMPTS = 3
 
 
@@ -62,6 +69,7 @@ def log(*a):
 
 def time_batch(batch_fn, frames, sync, pixels_per_iter, target_s, label):
     """Enqueue-K-batches/one-scalar-fetch timing loop -> Mpix/s."""
+    target_s *= TARGET_SCALE
     t0 = time.time()
     out = batch_fn(frames)
     sync(out)
@@ -102,7 +110,7 @@ def oracle_gate(plane, host_plane, n, height, width) -> float:
     rng = np.random.default_rng(0)
     nb = (height // n) * (width // n)
     nbx = width // n
-    sample = rng.choice(nb, size=256, replace=False)
+    sample = rng.choice(nb, size=min(256, nb), replace=False)
     idx = jnp.asarray(sample)
 
     @jax.jit
@@ -143,6 +151,112 @@ def device_equal(a, b) -> bool:
     import jax.numpy as jnp
 
     return bool(jnp.array_equal(a, b))
+
+
+def bench_sequence_e2e(num_frames: int = SEQ_FRAMES) -> dict:
+    """BASELINE config 5: 120-frame 1080p sequence, device encode +
+    host entropy + bitstream write, END-TO-END Mpix/s (wall clock from
+    raw YUV file to finished bitstream, everything included).
+
+    Closed-loop (reconstruction-fed) so the stream is pixel-exactly
+    decodable; the gate decodes 2 sampled frames and compares them to
+    an independent re-encode of the same source frames.  Also runs a
+    16-frame entropy-tiles A/B (tiles=4 vs 1) and reports the host
+    entropy-stage ratio (1-core container: expect ~1.0; the win needs
+    real cores).
+    """
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from nanohevc_tpu.config import EncoderConfig
+    from nanohevc_tpu.models.sequence import decode_sequence_levels, encode_sequence
+    from nanohevc_tpu.models.wavefront import encode_frame_closed_loop
+    from nanohevc_tpu.frame import Frame
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:H, 0:W]
+    frame_bytes = H * W * 3 // 2
+    tmp = tempfile.mkdtemp(prefix="nhseq_")
+    src_path = os.path.join(tmp, "in.yuv")
+    bs_path = os.path.join(tmp, "out.bin")
+    # moving synthetic content: cheap to generate, non-trivial to code
+    log("[sequence] generating source...")
+    with open(src_path, "wb") as f:
+        for i in range(num_frames):
+            y = (128 + 80 * np.sin(xx / 19 + i * 0.3) * np.cos(yy / 23)
+                 + rng.normal(0, 6, (H, W)))
+            u = np.full((H // 2, W // 2), 128, np.uint8)
+            f.write(np.clip(y, 0, 255).astype(np.uint8).tobytes())
+            f.write(u.tobytes())
+            f.write(u.tobytes())
+    config = EncoderConfig(block_size=8, qp=30)
+
+    log("[sequence] encoding...")
+    t0 = time.time()
+    res = encode_sequence(
+        src_path, W, H, num_frames, config, bs_path,
+        batch=8, resume=False, closed_loop=True,
+    )
+    dt = time.time() - t0
+    mpix = num_frames * H * W * 1.5 / dt / 1e6
+    log(f"[sequence] {num_frames} frames in {dt:.1f}s end-to-end "
+        f"-> {mpix:.1f} Mpix/s (YUV pixels, host entropy included)")
+
+    # decode-verify gate: 2 sampled frames decode == independent
+    # closed-loop re-encode of the same source frames
+    log("[sequence] decode-verify gate...")
+    frames_lv = decode_sequence_levels(bs_path)
+    ok = len(frames_lv) == num_frames
+    if ok:
+        from nanohevc_tpu.models.wavefront import decode_plane
+
+        for fi in (0, num_frames - 1):
+            with open(src_path, "rb") as f:
+                f.seek(fi * frame_bytes)
+                fr = Frame.from_yuv420p(f.read(frame_bytes), H, W)
+            recon, _ = encode_frame_closed_loop(fr, config)
+            sl = frames_lv[fi]["Y"]
+            got = decode_plane(
+                jnp.asarray(sl["levels"]),
+                jnp.asarray(sl["modes"]),
+                jnp.int32(sl.get("qp", config.qp)),
+                n=config.block_size, height=H, width=W,
+                scan=config.scan,
+            )
+            ok = ok and np.array_equal(
+                np.asarray(got), recon.y.data.astype(np.int32)
+            )
+            if not ok:
+                log(f"[sequence] decode-verify FAILED at frame {fi}")
+                break
+
+    # entropy-tiles A/B on a 16-frame prefix: entropy-stage wall ratio
+    ab = {}
+    for tiles in (1, 4):
+        t0 = time.time()
+        encode_sequence(
+            src_path, W, H, 16, config,
+            os.path.join(tmp, f"ab{tiles}.bin"),
+            batch=8, resume=False, closed_loop=True, entropy_tiles=tiles,
+        )
+        ab[tiles] = time.time() - t0
+    ratio = ab[1] / max(ab[4], 1e-9)
+    log(f"[sequence] entropy-tiles A/B (16 frames): tiles=1 {ab[1]:.1f}s, "
+        f"tiles=4 {ab[4]:.1f}s -> speedup {ratio:.2f}x")
+
+    for p in os.listdir(tmp):
+        os.unlink(os.path.join(tmp, p))
+    os.rmdir(tmp)
+    return {
+        "metric": f"{num_frames}-frame {H}p sequence end-to-end "
+                  "(device + host entropy + bitstream, closed loop)",
+        "value": round(mpix, 1),
+        "unit": "Mpix/s",
+        "bit_exact": bool(ok),
+        "coded_bytes": int(res.bytes_written),
+        "entropy_tiles4_speedup": round(ratio, 2),
+    }
 
 
 def run_bench() -> None:
@@ -249,14 +363,14 @@ def run_bench() -> None:
     add_row("1080p 4:2:0 YUV frame (Y 8x8 + UV 4x4)", yuv, ok)
 
     # ---- Row 5: 4K luma ---------------------------------------------------
-    host_4k = np.random.default_rng(0).integers(0, 256, (2160, 3840)).astype(np.int32)
+    host_4k = np.random.default_rng(0).integers(0, 256, (UHD_H, UHD_W)).astype(np.int32)
     p4k = jnp.asarray(host_4k)
     frames4k = jnp.stack([p4k] * 8)
     f4k_fn = jax.jit(jax.vmap(lambda p: slab_encode_plane(p, QP, 8)))
     r4k = time_batch(
-        f4k_fn, frames4k, sync_recon, 2160 * 3840 * 8, 8.0, "4k"
+        f4k_fn, frames4k, sync_recon, UHD_H * UHD_W * 8, 8.0, "4k"
     )
-    pct = oracle_gate(p4k, host_4k, 8, 2160, 3840)
+    pct = oracle_gate(p4k, host_4k, 8, UHD_H, UHD_W)
     log(f"[4k] oracle gate: {pct:.1f}% of 256 blocks")
     add_row("4K (2160x3840) luma 8x8 dc_planar full pipeline", r4k, pct == 100.0)
 
@@ -289,6 +403,84 @@ def run_bench() -> None:
         and device_equal(got["modes"][0], want["modes"])
     )
     add_row("1080p closed-loop wavefront (reconstruction-fed), 8x8", wf, ok)
+
+    # ---- Rows 7-10: 16x16 / 32x32 Mosaic-compiled gates ------------------
+    # Smaller planes: the point is on-chip (not interpret-mode) coverage
+    # of the large-N kernels, with bit-exactness gates, at bounded cost.
+    host_g = rng.integers(0, 256, (GATE_H, GATE_W)).astype(np.int32)
+    plane_g = jnp.asarray(host_g)
+    frames_g = jnp.stack([plane_g] * 8)
+    for ng in (16, 32):
+        sl_fn = jax.jit(jax.vmap(lambda p, ng=ng: slab_encode_plane(p, QP, ng)))
+        v = time_batch(
+            sl_fn, frames_g, sync_recon, GATE_H * GATE_W * 8, 4.0, f"slab{ng}"
+        )
+        got = sl_fn(frames_g)
+        want = jax.jit(
+            lambda p, ng=ng: encode_plane_full(p, jnp.int32(QP), n=ng)
+        )(plane_g)
+        from nanohevc_tpu import ops as _ops
+
+        lv_packed = jax.jit(
+            lambda l, ng=ng: _ops.scan_pack(_ops.tile_plane(l, ng))
+        )(got["levels_slab"][0])
+        ok = device_equal(got["recon"][0], want["recon"]) and device_equal(
+            lv_packed, want["levels"]
+        )
+        add_row(f"{GATE_H}x{GATE_W} luma {ng}x{ng} dc_planar full pipeline", v, ok)
+
+        ms_fn = jax.jit(
+            jax.vmap(lambda p, ng=ng: mode_search_encode_plane(p, QP, ng))
+        )
+        v = time_batch(
+            ms_fn, frames_g, sync_recon, GATE_H * GATE_W * 8, 4.0, f"mode{ng}"
+        )
+        got = ms_fn(frames_g)
+        want = jax.jit(
+            lambda p, ng=ng: encode_plane_full(
+                p, jnp.int32(QP), n=ng, mode_set="all", decision="satd"
+            )
+        )(plane_g)
+        ok = device_equal(got["recon"][0], want["recon"]) and device_equal(
+            got["modes_slab"][0][::ng, ::ng].reshape(-1), want["modes"]
+        )
+        add_row(f"{GATE_H}x{GATE_W} luma 35-mode SATD search, {ng}x{ng}", v, ok)
+
+    # ---- Row 11: wavefront kernel vs XLA at batch 1 (the crossover) ------
+    # The fused kernel exists for single-frame latency; auto-select uses
+    # it only at b==1 (models/wavefront.py).  Measure both sides so a
+    # regression in the crossover assumption is visible in the bench.
+    wf1_k = jax.jit(
+        lambda p: encode_plane_closed_loop(
+            p, jnp.int32(QP), n=8, allow_fast=True
+        )
+    )
+    wf1_x = jax.jit(
+        lambda p: encode_plane_closed_loop(
+            p, jnp.int32(QP), n=8, allow_fast=False
+        )
+    )
+    v_k = time_batch(
+        wf1_k, plane, lambda o: int(o["recon"][0, 0]), H * W, 4.0, "wf1_kernel"
+    )
+    v_x = time_batch(
+        wf1_x, plane, lambda o: int(o["recon"][0, 0]), H * W, 4.0, "wf1_xla"
+    )
+    got, want = wf1_k(plane), wf1_x(plane)
+    ok = device_equal(got["recon"], want["recon"]) and device_equal(
+        got["levels"], want["levels"]
+    )
+    log(f"[wf1] kernel {v_k:.1f} vs XLA {v_x:.1f} Mpix/s at b=1 "
+        f"(speedup {v_k / max(v_x, 1e-9):.2f}x; auto-select assumes >= 1)")
+    add_row("1080p closed-loop wavefront single-frame (fused kernel)", v_k, ok)
+    rows[-1]["xla_b1"] = round(v_x, 1)
+    rows[-1]["kernel_b1_speedup"] = round(v_k / max(v_x, 1e-9), 2)
+
+    # ---- Row 12: end-to-end 120-frame 1080p sequence (BASELINE config 5) -
+    seq = bench_sequence_e2e()
+    rows.append(seq)
+    log(f"[sequence] {seq}")
+    gates_ok = gates_ok and seq["bit_exact"]
 
     # ---- Emit -------------------------------------------------------------
     if not gates_ok:

@@ -93,10 +93,22 @@ def _wht_lanes(d: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
     return d
 
 
+import os as _os
+
+# int16 SATD butterflies: exact for n <= 8 at 8-bit depth (|WHT2D| <=
+# n^2 * 255 = 16320 < 2^15), and VPU int16 lanes pack 2x.  Opt-in via
+# env until the measured win is confirmed on-chip.
+_SATD_I16 = _os.environ.get("MS_SATD_I16", "0") == "1"
+
+
 def _satd(diff: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
     """(n, W) residual -> (1, W) per-block SATD (Sylvester, both axes)."""
-    t = _wht_lanes(_wht_rows(diff, n), phase, n)
-    return _block_sum(jnp.abs(t).sum(axis=0, keepdims=True), phase, n)
+    if _SATD_I16 and n <= 8:
+        t = _wht_lanes(_wht_rows(diff.astype(jnp.int16), n), phase, n)
+        t = jnp.abs(t).astype(jnp.int32)
+    else:
+        t = jnp.abs(_wht_lanes(_wht_rows(diff, n), phase, n))
+    return _block_sum(t.sum(axis=0, keepdims=True), phase, n)
 
 
 def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
@@ -161,8 +173,10 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
     tr = _spread_phase(above, n - 1, phase, n)
     bl = _spread_phase(lc[n - 1 : n, :], n - 1, phase, n)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    h = (n - 1 - phase) * lc + (phase + 1) * tr
-    v = (n - 1 - rows_i) * above + (rows_i + 1) * bl
+    # one-multiply lerp: (n-q)*a + q*b == n*a + q*(b-a); int32 vector
+    # multiplies are the VPU's slowest op, so halve them
+    h = n * lc + (phase + 1) * (tr - lc)
+    v = n * above + (rows_i + 1) * (bl - above)
     pl_pred = (h + v + n) >> n.bit_length()
 
     best_pred = pl_pred
@@ -192,10 +206,11 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
                 if angle >= 0:
                     a_side = top_at(ip)
                     b_side = top_at(ip + 1)
-                    rows.append(((32 - f) * a_side + f * b_side + 16) >> 5)
+                    rows.append(((a_side << 5) + f * (b_side - a_side) + 16) >> 5)
                 else:
                     # top region: lanes with p >= -ip (ri >= 1)
-                    base = ((32 - f) * top_at(ip) + f * top_at(ip + 1) + 16) >> 5
+                    ta, tb = top_at(ip), top_at(ip + 1)
+                    base = ((ta << 5) + f * (tb - ta) + 16) >> 5
                     row = base
                     inv = INV_ANGLE[angle]
                     for p in range(0, min(-ip, n)):
@@ -206,7 +221,7 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
                             if ri + 1 <= 0
                             else negshift[p]       # ref[1] = above[c - p]
                         )
-                        val = ((32 - f) * ea + f * eb + 16) >> 5
+                        val = ((ea << 5) + f * (eb - ea) + 16) >> 5
                         row = jnp.where(phase == p, val, row)
                     rows.append(row)
             pred = jnp.concatenate(rows, axis=0)
@@ -219,7 +234,7 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
                 if ip >= 0:
                     a_side = l_stack[ip : ip + n, :]
                     b_side = l_stack[ip + 1 : ip + 1 + n, :]
-                    pred_p = ((32 - f) * a_side + f * b_side + 16) >> 5
+                    pred_p = ((a_side << 5) + f * (b_side - a_side) + 16) >> 5
                 else:
                     # rows i >= -ip come from L; earlier rows from the
                     # TOP extension (per-phase static rolls of above)
@@ -244,7 +259,7 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
                                 horiz_ext(ri + 1) if ri + 1 <= 0
                                 else l_stack[0:1, :]
                             )
-                        row_list.append(((32 - f) * a_side + f * b_side + 16) >> 5)
+                        row_list.append(((a_side << 5) + f * (b_side - a_side) + 16) >> 5)
                     pred_p = jnp.concatenate(row_list, axis=0)
                 pred = jnp.where(phase == p, pred_p, pred)
         best = consider(pred, mode, best)

@@ -145,8 +145,9 @@ def _search_block_row_v2(scal_ref, x, above, lx_rows, top_edge,
     # ---- Planar (full SATD: the rounding is not separable) ---------------
     tr = _spread_phase(above, n - 1, phase, n)
     bl = _spread_phase(lc[n - 1 : n, :], n - 1, phase, n)
-    h = (n - 1 - phase) * lc + (phase + 1) * tr
-    v = (n - 1 - rows_i) * above + (rows_i + 1) * bl
+    # one-multiply lerp: (n-q)*a + q*b == n*a + q*(b-a)
+    h = n * lc + (phase + 1) * (tr - lc)
+    v = n * above + (rows_i + 1) * (bl - above)
     pl_pred = (h + v + n) >> n.bit_length()
 
     best_pred = pl_pred
@@ -203,7 +204,7 @@ def _search_block_row_v2(scal_ref, x, above, lx_rows, top_edge,
                 axis=0,
             )
             fv = ((rows_i + 1) * angle) & 31                     # (n, 1)
-            pred = ((32 - fv) * a_side + fv * b_side + 16) >> 5
+            pred = ((a_side << 5) + fv * (b_side - a_side) + 16) >> 5
             best = consider(pred, mode, best)
             continue
 
@@ -214,7 +215,7 @@ def _search_block_row_v2(scal_ref, x, above, lx_rows, top_edge,
                 ip, f = proj >> 5, proj & 31
                 a_side = top_at(ip)
                 b_side = top_at(ip + 1)
-                rows.append(((32 - f) * a_side + f * b_side + 16) >> 5)
+                rows.append(((a_side << 5) + f * (b_side - a_side) + 16) >> 5)
             best = consider(jnp.concatenate(rows, axis=0), mode, best)
             continue
 
@@ -225,7 +226,8 @@ def _search_block_row_v2(scal_ref, x, above, lx_rows, top_edge,
             for i in range(n):
                 proj = (i + 1) * angle
                 ip, f = proj >> 5, proj & 31
-                base = ((32 - f) * top_at(ip) + f * top_at(ip + 1) + 16) >> 5
+                ta, tb = top_at(ip), top_at(ip + 1)
+                base = ((ta << 5) + f * (tb - ta) + 16) >> 5
                 row = base
                 for p in range(0, min(-ip, n)):
                     ri = p + 1 + ip
@@ -233,7 +235,7 @@ def _search_block_row_v2(scal_ref, x, above, lx_rows, top_edge,
                     eb = (
                         vert_ext(ri + 1, inv) if ri + 1 <= 0 else negshift[p]
                     )
-                    val = ((32 - f) * ea + f * eb + 16) >> 5
+                    val = ((ea << 5) + f * (eb - ea) + 16) >> 5
                     row = jnp.where(phase == p, val, row)
                 rows.append(row)
             best = consider(jnp.concatenate(rows, axis=0), mode, best)
@@ -249,7 +251,7 @@ def _search_block_row_v2(scal_ref, x, above, lx_rows, top_edge,
                 if ip >= 0:
                     a_side = l_stack[ip : ip + n, :]
                     b_side = l_stack[ip + 1 : ip + 1 + n, :]
-                    pred_p = ((32 - f) * a_side + f * b_side + 16) >> 5
+                    pred_p = ((a_side << 5) + f * (b_side - a_side) + 16) >> 5
                 else:
                     def h_ext(j: int) -> jnp.ndarray:
                         if j == 0:
@@ -272,7 +274,7 @@ def _search_block_row_v2(scal_ref, x, above, lx_rows, top_edge,
                                 else l_stack[0:1, :]
                             )
                         row_list.append(
-                            ((32 - f) * a_side + f * b_side + 16) >> 5
+                            ((a_side << 5) + f * (b_side - a_side) + 16) >> 5
                         )
                     pred_p = jnp.concatenate(row_list, axis=0)
                 pred = jnp.where(phase == p, pred_p, pred)
@@ -308,7 +310,7 @@ def _search_block_row_v2(scal_ref, x, above, lx_rows, top_edge,
                 sb = jnp.where(
                     m, stack[k_off + ip + 1 : k_off + ip + 1 + n, :], sb
                 )
-        pred = ((32 - fvec) * sa + fvec * sb + 16) >> 5
+        pred = ((sa << 5) + fvec * (sb - sa) + 16) >> 5
         best = consider(pred, mode, best)
 
     best_pred, best_packed = best

@@ -185,8 +185,9 @@ def _encode_block_row(scal_ref, x, above, t_ref, tt_ref, wfwd_ref, winv_ref,
     tr = _spread_phase(above, n - 1, phase, n)                   # (1, W)
     bl = _spread_phase(lc[n - 1 : n, :], n - 1, phase, n)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    h = (n - 1 - phase) * lc + (phase + 1) * tr
-    v = (n - 1 - rows) * above + (rows + 1) * bl
+    # one-multiply lerp: (n-q)*a + q*b == n*a + q*(b-a)
+    h = n * lc + (phase + 1) * (tr - lc)
+    v = n * above + (rows + 1) * (bl - above)
     pl_pred = (h + v + n) >> n.bit_length()
 
     # --- Energy decision (ties -> DC) ------------------------------------

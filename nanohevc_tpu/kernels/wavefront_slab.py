@@ -107,8 +107,9 @@ def _kernel(scal_ref, blocks_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
     tr = _spread_phase(top, n - 1, phase, n)
     bl = lc[n - 1 : n, :]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    hor = (n - 1 - phase) * lc + (phase + 1) * tr
-    ver = (n - 1 - rows) * top + (rows + 1) * bl
+    # one-multiply lerp: (n-q)*a + q*b == n*a + q*(b-a)
+    hor = n * lc + (phase + 1) * (tr - lc)
+    ver = n * top + (rows + 1) * (bl - top)
     pl_pred = (hor + ver + n) >> n.bit_length()
 
     # Energy decision (ties -> DC), then the shared pipeline tail.

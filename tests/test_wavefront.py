@@ -299,3 +299,35 @@ class TestFrameCodec:
         text = capsys.readouterr().out
         assert "decodable" in text and "Decoded:" in text
         assert out_path.read_bytes() == recon_path.read_bytes()
+
+
+class TestKernelAutoSelect:
+    """Pin the measured crossover assumption: the fused wavefront
+    kernel wins on single-frame latency only; at batch >= 2 the
+    vmapped XLA scan is faster (docs/performance.md), so auto-select
+    must route b==1 to the kernel and b>=2 to the XLA path.  bench.py
+    row 'wavefront single-frame' measures both sides each round — if
+    the crossover moves, flip this pin together with the auto-select
+    in encode_planes_closed_loop."""
+
+    def _routes_to_kernel(self, b, monkeypatch):
+        import nanohevc_tpu.kernels.wavefront_slab as wfs
+        from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
+
+        called = {"kernel": False}
+        orig = wfs.wavefront_encode_blocks
+
+        def spy(*a, **k):
+            called["kernel"] = True
+            return orig(*a, **k)
+
+        monkeypatch.setattr(wfs, "wavefront_encode_blocks", spy)
+        planes = jnp.zeros((b, 16, 24), jnp.int32)
+        encode_planes_closed_loop(planes, jnp.int32(22), n=8)
+        return called["kernel"]
+
+    def test_single_frame_uses_kernel(self, monkeypatch):
+        assert self._routes_to_kernel(1, monkeypatch)
+
+    def test_batch_uses_xla_scan(self, monkeypatch):
+        assert not self._routes_to_kernel(2, monkeypatch)
