@@ -17,6 +17,14 @@ Rows (each timed separately and gated on bit-exactness):
      gated on whole-output equality vs the XLA scan path (itself
      verified against the sequential per-block oracle in
      tests/test_wavefront.py).
+  7. closed_loop_35 — 1080p closed-loop 35-mode SATD search (batch 4,
+     2-step scan unroll); gated on pixel-exact decode_plane round-trip.
+  8-11. 16x16 / 32x32 slab + mode-search gates (Mosaic-compiled, small
+     planes); whole-output equality vs the XLA path.
+  12. wavefront single-frame crossover — fused kernel vs XLA at b=1.
+  13. sequence e2e — 120-frame 1080p closed-loop sequence to a real
+     bitstream (device + host entropy + NAL write), decode-verified,
+     with an entropy-tiles A/B.
 
 Prints ONE JSON line; the top-level metric/value is the flagship row,
 and the full row set rides in "rows":
@@ -316,9 +324,17 @@ def run_bench() -> None:
     add_row("1080p luma 35-mode SATD search, 8x8", ms8, ok)
 
     # ---- Row 3: 1080p 35-mode SATD search at 4x4 + DST-VII ---------------
+    # 4x4 rides the grouped-interleaved kernel (8 block-rows per sublane
+    # tile); gate is vs the XLA decide_modes path as before.
+    from nanohevc_tpu.kernels.mode_search_grouped import (
+        mode_search_encode_plane_grouped,
+    )
+
     frames4 = jnp.stack([plane] * 4)
     ms4_fn = jax.jit(
-        jax.vmap(lambda p: mode_search_encode_plane(p, QP, 4, use_dst=True))
+        jax.vmap(
+            lambda p: mode_search_encode_plane_grouped(p, QP, 4, use_dst=True)
+        )
     )
     ms4 = time_batch(ms4_fn, frames4, sync_recon, H * W * 4, 8.0, "mode4")
     got = ms4_fn(frames4)
@@ -404,7 +420,34 @@ def run_bench() -> None:
     )
     add_row("1080p closed-loop wavefront (reconstruction-fed), 8x8", wf, ok)
 
-    # ---- Rows 7-10: 16x16 / 32x32 Mosaic-compiled gates ------------------
+    # ---- Row 7: closed-loop 35-mode SATD search (the honest encoder's
+    # closed-loop config).  b=4 with 2-step scan unroll is the measured
+    # sweet spot (b=8/16/32 and unroll 1/4 are all slower).  Gate:
+    # decode_plane must reproduce the encoder's reconstruction exactly
+    # from (levels, modes) alone — the defining closed-loop property.
+    from nanohevc_tpu.models.wavefront import decode_plane
+
+    frames_cl = jnp.stack([plane] * 4)
+    cl_fn = jax.jit(
+        lambda ps: encode_planes_closed_loop(
+            ps, jnp.int32(QP), n=8, mode_set="all", decision="satd",
+            allow_fast=False, unroll=2,
+        )
+    )
+    cl = time_batch(
+        cl_fn, frames_cl, lambda out: int(out["recon"][0, 0, 0]),
+        H * W * 4, 8.0, "closed_loop_35",
+    )
+    got = cl_fn(frames_cl)
+    dec = jax.jit(
+        lambda lv, md: decode_plane(
+            lv, md, jnp.int32(QP), n=8, height=H, width=W
+        )
+    )(got["levels"][0], got["modes"][0])
+    ok = device_equal(dec, got["recon"][0])
+    add_row("1080p closed-loop 35-mode SATD search, 8x8", cl, ok)
+
+    # ---- Rows 8-11: 16x16 / 32x32 Mosaic-compiled gates ------------------
     # Smaller planes: the point is on-chip (not interpret-mode) coverage
     # of the large-N kernels, with bit-exactness gates, at bounded cost.
     host_g = rng.integers(0, 256, (GATE_H, GATE_W)).astype(np.int32)
@@ -446,7 +489,7 @@ def run_bench() -> None:
         )
         add_row(f"{GATE_H}x{GATE_W} luma 35-mode SATD search, {ng}x{ng}", v, ok)
 
-    # ---- Row 11: wavefront kernel vs XLA at batch 1 (the crossover) ------
+    # ---- Row 12: wavefront kernel vs XLA at batch 1 (the crossover) ------
     # The fused kernel exists for single-frame latency; auto-select uses
     # it only at b==1 (models/wavefront.py).  Measure both sides so a
     # regression in the crossover assumption is visible in the bench.
@@ -476,7 +519,7 @@ def run_bench() -> None:
     rows[-1]["xla_b1"] = round(v_x, 1)
     rows[-1]["kernel_b1_speedup"] = round(v_k / max(v_x, 1e-9), 2)
 
-    # ---- Row 12: end-to-end 120-frame 1080p sequence (BASELINE config 5) -
+    # ---- Row 13: end-to-end 120-frame 1080p sequence (BASELINE config 5) -
     seq = bench_sequence_e2e()
     rows.append(seq)
     log(f"[sequence] {seq}")

@@ -19,7 +19,25 @@ slab_pipeline.py plus three mode-search-specific tricks:
   masks; the ref[0]->ref[1] straddle uses one static per-phase roll;
 - **SATD**: the Walsh-Hadamard transform is an XOR-butterfly —
   log2(N) stages of two lane-rolls (columns) / row regroupings (rows)
-  — identical values to the Sylvester-matrix SATD the XLA path uses.
+  — identical values to the Sylvester-matrix SATD the XLA path uses;
+- **WHT-linearity shortcuts** for DC / pure-horizontal (10) /
+  pure-vertical (26): their predictions are constant along one block
+  axis, so WHT2D(x - pred) differs from the precomputed F = WHT2D(x)
+  in a single row / phase-0 lane column — three full SATD passes
+  collapse into one-row adjustments of the precomputed |F| sums;
+- **concatenated-lerp vertical family**: the nine positive-vertical
+  modes build all n rows' (a, b) operands by concatenation from the
+  shared roll cache, then run ONE (n, W) one-multiply lerp instead of
+  n single-row lerps;
+- **packed (cost, mode) min**: when n^3 * maxval * 64 fits int32 the
+  running best reduces with jnp.minimum on cost*64 + mode — one op
+  instead of three selects, with equal-cost ties resolving to the
+  lowest mode index exactly like the strict-< chain.
+
+The measured effect of the last three on-chip (1080p, batch 8): 493.5
+-> 498.4 Mpix/s at 8x8; a grouped-phase rewrite of the horizontal
+family was also tried and REGRESSED (457 Mpix/s) — the per-phase
+where-chain below is the faster form, don't "simplify" it back.
 
 Slabs are max(N, 8) rows (Mosaic sublane rules), so N == 4 packs two
 block-rows per slab; the caller appends replicated-last-row padding so
@@ -93,26 +111,26 @@ def _wht_lanes(d: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
     return d
 
 
-import os as _os
-
-# int16 SATD butterflies: exact for n <= 8 at 8-bit depth (|WHT2D| <=
-# n^2 * 255 = 16320 < 2^15), and VPU int16 lanes pack 2x.  Opt-in via
-# env until the measured win is confirmed on-chip.
-_SATD_I16 = _os.environ.get("MS_SATD_I16", "0") == "1"
-
-
 def _satd(diff: jnp.ndarray, phase: jnp.ndarray, n: int) -> jnp.ndarray:
     """(n, W) residual -> (1, W) per-block SATD (Sylvester, both axes)."""
-    if _SATD_I16 and n <= 8:
-        t = _wht_lanes(_wht_rows(diff.astype(jnp.int16), n), phase, n)
-        t = jnp.abs(t).astype(jnp.int32)
-    else:
-        t = jnp.abs(_wht_lanes(_wht_rows(diff, n), phase, n))
+    t = jnp.abs(_wht_lanes(_wht_rows(diff, n), phase, n))
     return _block_sum(t.sum(axis=0, keepdims=True), phase, n)
 
 
+def _packed_min_ok(n: int, bit_depth: int) -> bool:
+    """Whether cost*64 + mode fits int32 for every possible SATD.
+
+    sum|WHT2D(d)| <= n * sqrt(n^2 * sum d^2) <= n^3 * max|d| (Cauchy-
+    Schwarz), so the packed key is bounded by n^3 * maxval * 64 + 34.
+    True everywhere except n=32 at bit depth >= 10 and n=16 at >= 14,
+    which keep the three-select reduction.
+    """
+    return n ** 3 * ((1 << bit_depth) - 1) * 64 + 34 < 2 ** 31
+
+
 def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
-                      t_ref, tt_ref, wfwd_ref, winv_ref, n: int):
+                      t_ref, tt_ref, wfwd_ref, winv_ref, n: int,
+                      packed_min: bool = True):
     """Full 35-mode search + pipeline tail for one (n, W) block-row.
 
     above: (1, W) row directly above this block-row (already
@@ -166,9 +184,18 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
         return corner if proj == 0 else lc[proj - 1 : proj, :]
 
     # ---- Mode sweep -------------------------------------------------------
+    # F = WHT2D(x) and its |.| block sums feed the three shortcut
+    # modes whose predictions are constant along one block axis.
+    f_x = _wht_lanes(_wht_rows(x, n), phase, n)                      # (n, W)
+    abs_f = jnp.abs(f_x)
+    s_all = _block_sum(abs_f.sum(axis=0, keepdims=True), phase, n)   # (1, W)
+    f0 = f_x[0:1, :]
+    ph0 = (phase == 0).astype(jnp.int32)
+
     # Baselines: planar (mode 0) and DC (mode 1), SATD costs.
     total = _block_sum(above, phase, n) + lc.sum(axis=0, keepdims=True)
-    dc_pred = jnp.broadcast_to((total + n) // (2 * n), (n, w))
+    dc_row = (total + n) // (2 * n)                                  # (1, W)
+    dc_pred = jnp.broadcast_to(dc_row, (n, w))
 
     tr = _spread_phase(above, n - 1, phase, n)
     bl = _spread_phase(lc[n - 1 : n, :], n - 1, phase, n)
@@ -180,50 +207,107 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
     pl_pred = (h + v + n) >> n.bit_length()
 
     best_pred = pl_pred
-    best_cost = _satd(x - pl_pred, phase, n)
-    best_mode = jnp.zeros((1, w), jnp.int32)            # planar = 0
+    pl_cost = _satd(x - pl_pred, phase, n)               # planar = mode 0
+
+    if packed_min:
+        best = (best_pred, pl_cost * 64)
+
+        def consider_cost(pred, cost, mode_idx, best):
+            bp, bpk = best
+            packed = cost * 64 + mode_idx
+            take = packed < bpk
+            return (
+                jnp.where(take, pred + jnp.zeros_like(x), bp),
+                jnp.minimum(packed, bpk),
+            )
+    else:
+        best = (best_pred, pl_cost, jnp.zeros((1, w), jnp.int32))
+
+        def consider_cost(pred, cost, mode_idx, best):
+            bp, bc, bm = best
+            take = cost < bc
+            return (
+                jnp.where(take, pred + jnp.zeros_like(x), bp),
+                jnp.where(take, cost, bc),
+                jnp.where(take, mode_idx, bm),
+            )
 
     def consider(pred, mode_idx, best):
-        bp, bc, bm = best
-        cost = _satd(x - pred, phase, n)
-        take = cost < bc
-        return (
-            jnp.where(take, pred + jnp.zeros_like(x), bp),
-            jnp.where(take, cost, bc),
-            jnp.where(take, mode_idx, bm),
-        )
+        return consider_cost(pred, _satd(x - pred, phase, n), mode_idx, best)
 
-    best = consider(dc_pred, 1, (best_pred, best_cost, best_mode))
+    # DC via the F shortcut: WHT2D(x - dc) == F except at (0, 0), where
+    # it is F00 - n^2*dc — adjust the precomputed |F| sum at phase 0.
+    dc_adj = (jnp.abs(f0 - n * n * dc_row) - jnp.abs(f0)) * ph0
+    dc_cost = s_all + _block_sum(dc_adj, phase, n)
+    best = consider_cost(dc_pred, dc_cost, 1, best)
 
     for mode in range(2, 35):
         angle = INTRA_PRED_ANGLE[mode - 2]
         vertical = mode >= 18
+
+        if angle == 0:
+            # WHT-linearity shortcuts: both pure modes copy one
+            # reference line, so WHT2D(x - pred) differs from F along a
+            # single row (mode 26) / the phase-0 lane column (mode 10).
+            if vertical:   # mode 26: pred == above broadcast down rows
+                wla = _wht_lanes(above, phase, n)
+                adj = jnp.abs(f0 - n * wla) - jnp.abs(f0)
+                cost = s_all + _block_sum(adj, phase, n)
+                pred = jnp.broadcast_to(above, (n, w))
+            else:          # mode 10: pred == lc broadcast across lanes
+                wr_lc = _wht_rows(lc, n)
+                adj = ((jnp.abs(f_x - n * wr_lc) - abs_f) * ph0).sum(
+                    axis=0, keepdims=True
+                )
+                cost = s_all + _block_sum(adj, phase, n)
+                pred = lc
+            best = consider_cost(pred, cost, mode, best)
+            continue
+
+        if vertical and angle > 0:
+            # all rows' lerp operands come from the shared roll cache;
+            # concatenate them and run ONE (n, W) one-multiply lerp.
+            a_side = jnp.concatenate(
+                [top_at(((i + 1) * angle) >> 5) for i in range(n)], axis=0
+            )
+            if angle == 32:                      # f == 0 on every row
+                pred = a_side
+            else:
+                b_side = jnp.concatenate(
+                    [top_at((((i + 1) * angle) >> 5) + 1) for i in range(n)],
+                    axis=0,
+                )
+                fv = ((rows_i + 1) * angle) & 31                 # (n, 1)
+                pred = ((a_side << 5) + fv * (b_side - a_side) + 16) >> 5
+            best = consider(pred, mode, best)
+            continue
+
         rows = []
         if vertical:
+            # negative vertical: per-row base lerp + INV_ANGLE straddle
             for i in range(n):
                 proj = (i + 1) * angle
                 ip, f = proj >> 5, proj & 31
-                if angle >= 0:
-                    a_side = top_at(ip)
-                    b_side = top_at(ip + 1)
-                    rows.append(((a_side << 5) + f * (b_side - a_side) + 16) >> 5)
-                else:
-                    # top region: lanes with p >= -ip (ri >= 1)
-                    ta, tb = top_at(ip), top_at(ip + 1)
-                    base = ((ta << 5) + f * (tb - ta) + 16) >> 5
-                    row = base
-                    inv = INV_ANGLE[angle]
-                    for p in range(0, min(-ip, n)):
-                        ri = p + 1 + ip            # <= 0 here
-                        ea = vert_ext(ri, inv)
-                        eb = (
-                            vert_ext(ri + 1, inv)
-                            if ri + 1 <= 0
-                            else negshift[p]       # ref[1] = above[c - p]
-                        )
-                        val = ((ea << 5) + f * (eb - ea) + 16) >> 5
-                        row = jnp.where(phase == p, val, row)
-                    rows.append(row)
+                # top region: lanes with p >= -ip (ri >= 1)
+                ta, tb = top_at(ip), top_at(ip + 1)
+                base = ta if f == 0 else (
+                    ((ta << 5) + f * (tb - ta) + 16) >> 5
+                )
+                row = base
+                inv = INV_ANGLE[angle]
+                for p in range(0, min(-ip, n)):
+                    ri = p + 1 + ip            # <= 0 here
+                    ea = vert_ext(ri, inv)
+                    eb = (
+                        vert_ext(ri + 1, inv)
+                        if ri + 1 <= 0
+                        else negshift[p]       # ref[1] = above[c - p]
+                    )
+                    val = ea if f == 0 else (
+                        ((ea << 5) + f * (eb - ea) + 16) >> 5
+                    )
+                    row = jnp.where(phase == p, val, row)
+                rows.append(row)
             pred = jnp.concatenate(rows, axis=0)
         else:
             pred = jnp.zeros_like(x)
@@ -233,8 +317,15 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
                 ip, f = proj >> 5, proj & 31
                 if ip >= 0:
                     a_side = l_stack[ip : ip + n, :]
-                    b_side = l_stack[ip + 1 : ip + 1 + n, :]
-                    pred_p = ((a_side << 5) + f * (b_side - a_side) + 16) >> 5
+                    if f == 0:
+                        pred_p = a_side
+                    else:
+                        b_side = l_stack[ip + 1 : ip + 1 + n, :]
+                        pred_p = (
+                            (a_side << 5) + f * (b_side - a_side) + 16
+                        ) >> 5
+                    pred = jnp.where(phase == p, pred_p, pred)
+                    continue
                 else:
                     # rows i >= -ip come from L; earlier rows from the
                     # TOP extension (per-phase static rolls of above)
@@ -259,12 +350,19 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
                                 horiz_ext(ri + 1) if ri + 1 <= 0
                                 else l_stack[0:1, :]
                             )
-                        row_list.append(((a_side << 5) + f * (b_side - a_side) + 16) >> 5)
+                        row_list.append(
+                            a_side if f == 0 else
+                            ((a_side << 5) + f * (b_side - a_side) + 16) >> 5
+                        )
                     pred_p = jnp.concatenate(row_list, axis=0)
                 pred = jnp.where(phase == p, pred_p, pred)
         best = consider(pred, mode, best)
 
-    best_pred, best_cost, best_mode = best
+    if packed_min:
+        best_pred, best_packed = best
+        best_mode = best_packed % 64
+    else:
+        best_pred, _, best_mode = best
 
     level, recon = _transform_quant_recon(
         scal_ref, x, best_pred, t_ref, tt_ref, wfwd_ref, winv_ref, n
@@ -273,7 +371,8 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
 
 
 def _kernel(scal_ref, slab_ref, above_ref, next_ref, t_ref, tt_ref,
-            wfwd_ref, winv_ref, recon_ref, levels_ref, modes_ref, n: int):
+            wfwd_ref, winv_ref, recon_ref, levels_ref, modes_ref, n: int,
+            packed_min: bool = True):
     """One grid step: a slab of max(N, 8) rows (2 block-rows at N == 4).
 
     The caller pads the plane with replicated-last-row slabs, so the
@@ -299,6 +398,7 @@ def _kernel(scal_ref, slab_ref, above_ref, next_ref, t_ref, tt_ref,
         level, recon, best_mode = _search_block_row(
             scal_ref, slab_ref[r * n : (r + 1) * n, :], above, lx_rows,
             top_edge, t_ref, tt_ref, wfwd_ref, winv_ref, n,
+            packed_min=packed_min,
         )
         sl = slice(r * n, (r + 1) * n)
         levels_ref[sl, :] = level
@@ -308,7 +408,7 @@ def _kernel(scal_ref, slab_ref, above_ref, next_ref, t_ref, tt_ref,
 
 @lru_cache(maxsize=None)
 def _build(n: int, height: int, width: int, interpret: bool,
-           use_dst: bool = False):
+           use_dst: bool = False, packed_min: bool = True):
     t_host = np.asarray(transform_matrix(n, use_dst=use_dst), dtype=np.int32)
     slab_rows = _slab_rows(n)
     nslabs = height // slab_rows
@@ -318,7 +418,7 @@ def _build(n: int, height: int, width: int, interpret: bool,
     slab_spec = pl.BlockSpec((slab_rows, width), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     call = pl.pallas_call(
-        partial(_kernel, n=n),
+        partial(_kernel, n=n, packed_min=packed_min),
         grid=(nslabs,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -390,7 +490,8 @@ def mode_search_encode_plane(plane: jnp.ndarray, qp: int, n: int,
     x = jnp.concatenate(
         [src, jnp.broadcast_to(src[h - 1 : h, :], (h_pad - h, w))], axis=0
     )
-    run = _build(n, h_pad, w, interpret, use_dst)
+    run = _build(n, h_pad, w, interpret, use_dst,
+                 _packed_min_ok(n, bit_depth))
     recon, levels, modes = run(
         _qp_scalars(qp, n, bit_depth, dequant_rescale), x
     )

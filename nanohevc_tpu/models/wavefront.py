@@ -209,6 +209,7 @@ def encode_planes_closed_loop(
     dequant_rescale: bool = False,
     intra_smoothing: bool = False,
     allow_fast: bool | None = None,
+    unroll: int = 1,
 ):
     """Batched wavefront encode: (B, H, W) planes, reconstruction-fed.
 
@@ -290,7 +291,8 @@ def encode_planes_closed_loop(
 
         def one_frame(frame_sk):
             _, outs = jax.lax.scan(
-                step, _skew_buffers(nby, nbx, n), (d_j, bx_j, ok_j, frame_sk)
+                step, _skew_buffers(nby, nbx, n), (d_j, bx_j, ok_j, frame_sk),
+                unroll=unroll,
             )
             return outs
 

@@ -339,6 +339,37 @@ class TestModeSearchKernel:
         assert np.array_equal(got_modes, np.asarray(ref["modes"]))
         assert np.array_equal(np.asarray(out["recon"]), np.asarray(ref["recon"]))
 
+    @pytest.mark.parametrize(
+        "n,g,h,w,dst,qp,bd",
+        [
+            (4, 8, 64, 128, True, 22, 8),    # flagship 4x4 DST config
+            (4, 2, 40, 64, False, 30, 8),    # minimal sublane tile
+            (4, 8, 61, 128, True, 24, 8),    # non-aligned height
+            (8, 2, 62, 128, False, 35, 10),  # n=8 pairing + 10-bit
+        ],
+    )
+    def test_grouped_matches_slab_kernel(self, n, g, h, w, dst, qp, bd):
+        """Grouped-interleaved kernel == the per-block-row slab kernel."""
+        from nanohevc_tpu.kernels.mode_search_grouped import (
+            mode_search_encode_plane_grouped,
+        )
+        from nanohevc_tpu.kernels.mode_search_slab import (
+            mode_search_encode_plane,
+        )
+
+        rng = np.random.default_rng(n * g + h)
+        plane = jnp.asarray(
+            rng.integers(0, 1 << bd, (h, w)).astype(np.int32)
+        )
+        a = mode_search_encode_plane(
+            plane, qp, n, interpret=True, use_dst=dst, bit_depth=bd
+        )
+        b = mode_search_encode_plane_grouped(
+            plane, qp, n, g=g, interpret=True, use_dst=dst, bit_depth=bd
+        )
+        for k in ("recon", "levels_slab", "modes_slab"):
+            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
     def test_fast_modes_wrapper_matches_full(self):
         from nanohevc_tpu.models.all_intra import (
             encode_plane_fast_modes,
