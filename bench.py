@@ -67,7 +67,8 @@ UHD_H, UHD_W = (144, 256) if SMOKE else (2160, 3840)
 GATE_H, GATE_W = (128, 256) if SMOKE else (512, 1024)
 SEQ_FRAMES = 3 if SMOKE else 120
 TARGET_SCALE = 0.02 if SMOKE else 1.0
-ATTEMPT_TIMEOUT_S = 2400
+ATTEMPT_TIMEOUT_S = 3600  # tunnel-state dependent: large-N Mosaic
+                          # compiles alone can take 5-6 min each
 ATTEMPTS = 3
 
 

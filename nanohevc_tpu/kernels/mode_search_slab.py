@@ -265,20 +265,37 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
             continue
 
         if vertical and angle > 0:
-            # all rows' lerp operands come from the shared roll cache;
-            # concatenate them and run ONE (n, W) one-multiply lerp.
-            a_side = jnp.concatenate(
-                [top_at(((i + 1) * angle) >> 5) for i in range(n)], axis=0
-            )
-            if angle == 32:                      # f == 0 on every row
-                pred = a_side
-            else:
-                b_side = jnp.concatenate(
-                    [top_at((((i + 1) * angle) >> 5) + 1) for i in range(n)],
-                    axis=0,
+            if n <= 16:
+                # all rows' lerp operands come from the shared roll
+                # cache; concatenate them and run ONE (n, W)
+                # one-multiply lerp.  N == 32 stays on the per-row
+                # loop below: the (32, W) concat temporaries (two per
+                # mode, nine modes live across the sweep) blow the
+                # 16 MB scoped-VMEM stack (measured: 36.9M at the
+                # 512x1024 bench gate).
+                a_side = jnp.concatenate(
+                    [top_at(((i + 1) * angle) >> 5) for i in range(n)], axis=0
                 )
-                fv = ((rows_i + 1) * angle) & 31                 # (n, 1)
-                pred = ((a_side << 5) + fv * (b_side - a_side) + 16) >> 5
+                if angle == 32:                  # f == 0 on every row
+                    pred = a_side
+                else:
+                    b_side = jnp.concatenate(
+                        [top_at((((i + 1) * angle) >> 5) + 1)
+                         for i in range(n)],
+                        axis=0,
+                    )
+                    fv = ((rows_i + 1) * angle) & 31             # (n, 1)
+                    pred = ((a_side << 5) + fv * (b_side - a_side) + 16) >> 5
+            else:
+                rows = []
+                for i in range(n):
+                    proj = (i + 1) * angle
+                    ip, f = proj >> 5, proj & 31
+                    ta = top_at(ip)
+                    rows.append(ta if f == 0 else (
+                        ((ta << 5) + f * (top_at(ip + 1) - ta) + 16) >> 5
+                    ))
+                pred = jnp.concatenate(rows, axis=0)
             best = consider(pred, mode, best)
             continue
 
@@ -445,6 +462,14 @@ def _build(n: int, height: int, width: int, interpret: bool,
             for _ in range(3)
         ),
         interpret=interpret,
+        # The 33-mode sweep's live (N, W) temporaries exceed Mosaic's
+        # default 16 MB scoped-VMEM stack at N == 32 (~37 MB measured at
+        # W = 1024); v5e has 128 MB of physical VMEM, so raise the cap
+        # for the large-N build instead of splitting the sweep.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if n >= 32 and not interpret else None
+        ),
     )
 
     def run(scalars, plane):

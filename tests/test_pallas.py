@@ -236,7 +236,7 @@ class TestModeSearchKernel:
     # interpret-mode traces of the 33-mode unrolled kernel are expensive
     # on this 1-core box: shapes are shared across tests so the Pallas
     # build caches, and n=16 runs a single QP.
-    @pytest.mark.parametrize("n,qp", [(8, 12), (8, 30), (16, 30)])
+    @pytest.mark.parametrize("n,qp", [(8, 12), (8, 30), (16, 30), (32, 30)])
     def test_matches_xla_mode_search(self, n, qp):
         """Fused 35-mode SATD kernel == decide_modes('all', 'satd') path."""
         from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
