@@ -12,6 +12,7 @@ entry (pyproject.toml:38).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -293,6 +294,16 @@ def main(argv: list[str] | None = None) -> None:
         prog="nano-hevc-tpu",
         description="TPU-native HEVC all-intra encoder",
     )
+    parser.add_argument(
+        "--platform",
+        choices=("auto", "cpu", "tpu"),
+        default=os.environ.get("NANOHEVC_PLATFORM", "auto"),
+        help="JAX backend: auto = the process default (TPU where "
+        "present), cpu = force the host backend (all outputs are "
+        "bit-identical; the codec is integer arithmetic).  Also set "
+        "via NANOHEVC_PLATFORM.  Unlike the JAX_PLATFORMS env var this "
+        "works after jax has been imported (jax.config.update).",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     demo = sub.add_parser("demo", help="Run demo with synthetic test frame")
@@ -437,6 +448,10 @@ def main(argv: list[str] | None = None) -> None:
     dec.set_defaults(func=cmd_decode)
 
     args = parser.parse_args(argv)
+    if args.platform != "auto":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.func(args)
 
 

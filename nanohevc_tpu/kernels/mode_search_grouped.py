@@ -440,6 +440,13 @@ def _build(n: int, g: int, height: int, width: int, interpret: bool,
             jax.ShapeDtypeStruct((nslabs * g, width), jnp.int32),
         ),
         interpret=interpret,
+        # At N == 8 the grouped sweep's live (n*g, W) temporaries need
+        # ~24 MB of scoped VMEM — over Mosaic's 16 MB default but well
+        # inside the chip's 128 MB; raise the cap rather than shrink g.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if n * g > 32 and not interpret else None
+        ),
     )
 
     def run(scalars, x_il, above_arr):
@@ -453,6 +460,30 @@ def _build(n: int, g: int, height: int, width: int, interpret: bool,
 
 def _default_g(n: int) -> int:
     return 8
+
+
+def mode_search_encode_plane_auto(
+    plane: jnp.ndarray, qp: int, n: int,
+    *, bit_depth: int = 8, interpret: bool | None = None,
+    use_dst: bool = False, dequant_rescale: bool = False,
+):
+    """Route the 35-mode search to the fastest bit-exact kernel.
+
+    N == 4 rides the grouped-interleaved kernel (4.6x the per-block-row
+    slab kernel on TPU, bench.py row 3); other sizes ride the slab
+    kernel.  Same output contract as both.
+    """
+    if n == 4 and plane.shape[1] % n == 0:
+        return mode_search_encode_plane_grouped(
+            plane, qp, n, bit_depth=bit_depth, interpret=interpret,
+            use_dst=use_dst, dequant_rescale=dequant_rescale,
+        )
+    from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+
+    return mode_search_encode_plane(
+        plane, qp, n, bit_depth=bit_depth, interpret=interpret,
+        use_dst=use_dst, dequant_rescale=dequant_rescale,
+    )
 
 
 def mode_search_encode_plane_grouped(

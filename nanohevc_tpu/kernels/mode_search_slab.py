@@ -175,6 +175,30 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
         """above[c + idx], idx in [-n, n+1]."""
         return topshift[idx] if idx >= 0 else negshift[-idx]
 
+    best_pred, best_mode = _mode_sweep(
+        x, above, lc, l_stack, corner, top_at, negshift, phase, n,
+        packed_min,
+    )
+
+    level, recon = _transform_quant_recon(
+        scal_ref, x, best_pred, t_ref, tt_ref, wfwd_ref, winv_ref, n
+    )
+    return level, recon, best_mode
+
+
+def _mode_sweep(x, above, lc, l_stack, corner, top_at, negshift,
+                phase, n: int, packed_min: bool):
+    """The 35-mode SATD sweep over one (n, W) block-row worth of lanes.
+
+    Pure lane algebra: all reference access goes through the caller's
+    machinery (above/lc/l_stack/corner/top_at/negshift), so the same
+    sweep serves the open-loop slab kernel (references from source
+    pixels) and the closed-loop wavefront kernel (references from the
+    persistent reconstruction state).  Returns (best_pred (n, W),
+    best_mode (1, W)); decision semantics = decide_modes("all", "satd").
+    """
+    w = x.shape[1]
+
     # Extension values for negative VERTICAL modes: ref[j], j in [-n, 0].
     # ref[0] = corner; ref[j<0] = left_arr[proj_j] (corner or LC row).
     def vert_ext(j: int, inv: int) -> jnp.ndarray:
@@ -380,11 +404,7 @@ def _search_block_row(scal_ref, x, above, lx_rows, top_edge,
         best_mode = best_packed % 64
     else:
         best_pred, _, best_mode = best
-
-    level, recon = _transform_quant_recon(
-        scal_ref, x, best_pred, t_ref, tt_ref, wfwd_ref, winv_ref, n
-    )
-    return level, recon, best_mode
+    return best_pred, best_mode
 
 
 def _kernel(scal_ref, slab_ref, above_ref, next_ref, t_ref, tt_ref,

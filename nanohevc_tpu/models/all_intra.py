@@ -371,9 +371,11 @@ def encode_plane_fast_modes(
     bit depth (3.9x the XLA search on TPU); qp must be a static Python
     int.
     """
-    from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+    from nanohevc_tpu.kernels.mode_search_grouped import (
+        mode_search_encode_plane_auto,
+    )
 
-    out = mode_search_encode_plane(
+    out = mode_search_encode_plane_auto(
         plane, qp, n, bit_depth=bit_depth, use_dst=use_dst,
         dequant_rescale=dequant_rescale,
     )

@@ -249,6 +249,10 @@ def encode_planes_closed_loop(
         wavefront_encode_blocks,
         wavefront_kernel_supported,
     )
+    from nanohevc_tpu.kernels.wavefront_mode_slab import (
+        wavefront_mode_kernel_supported,
+        wavefront_mode_search_blocks,
+    )
 
     # Pre-skew the source blocks once: (B, ndiag, nby, N, N).  Pure
     # pad+reshape (no gather HLO); inside the loop everything is slices.
@@ -262,11 +266,26 @@ def encode_planes_closed_loop(
     # by batch.  Both paths are bit-exact to the sequential oracle.
     if allow_fast is None:
         allow_fast = (
-            b == 1
-            and not intra_smoothing   # smoothing lives on the XLA path
-            and wavefront_kernel_supported(n, mode_set, decision, use_dst)
+            not intra_smoothing       # smoothing lives on the XLA path
+            and (
+                # dc_planar kernel: wins only single-frame (bench row 12)
+                (b == 1
+                 and wavefront_kernel_supported(n, mode_set, decision,
+                                                use_dst))
+                # 35-mode kernel: the in-VMEM sweep beats the XLA scan
+                # at every batch (bench row 7)
+                or wavefront_mode_kernel_supported(n, mode_set, decision,
+                                                   use_dst)
+            )
         )
-    if allow_fast:
+    if allow_fast and wavefront_mode_kernel_supported(
+        n, mode_set, decision, use_dst
+    ):
+        rec_all, levels_all, modes_all = wavefront_mode_search_blocks(
+            blocks_sk, qp, n=n, nby=nby, nbx=nbx, use_dst=use_dst,
+            bit_depth=bit_depth, dequant_rescale=dequant_rescale,
+        )
+    elif allow_fast:
         rec_all, levels_all, modes_all = wavefront_encode_blocks(
             blocks_sk, qp, n=n, nby=nby, use_dst=use_dst,
             bit_depth=bit_depth, dequant_rescale=dequant_rescale,

@@ -67,7 +67,9 @@ def make_sharded_fast_encoder(config: EncoderConfig, mesh: Mesh,
     """
     from jax import shard_map
 
-    from nanohevc_tpu.kernels.mode_search_slab import mode_search_encode_plane
+    from nanohevc_tpu.kernels.mode_search_grouped import (
+        mode_search_encode_plane_auto,
+    )
     from nanohevc_tpu.kernels.slab_pipeline import slab_encode_plane
     from nanohevc_tpu import ops
     from nanohevc_tpu.ops.intra import DC_MODE, PLANAR_MODE
@@ -111,7 +113,7 @@ def make_sharded_fast_encoder(config: EncoderConfig, mesh: Mesh,
                     next_first,
                 )
                 padded = jnp.concatenate([padded, halo_bot], axis=0)
-                out = mode_search_encode_plane(
+                out = mode_search_encode_plane_auto(
                     padded, config.qp, n, bit_depth=config.bit_depth,
                     use_dst=use_dst,
                     dequant_rescale=config.dequant_rescale,

@@ -122,6 +122,73 @@ class TestFusedKernelParity:
                 ), (k, i)
 
 
+class TestModeSearchKernelParity:
+    """The fused 35-mode wavefront kernel vs the XLA scan, bit-for-bit.
+
+    The XLA scan is itself pinned to the sequential per-block oracle
+    (TestClosedLoopEncode), so equality here chains to the oracle.
+    """
+
+    def _check(self, n, h, w, b=1, qp=24, **kw):
+        from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
+
+        rng = np.random.default_rng(n * h + w)
+        hi = 1 << kw.get("bit_depth", 8)
+        planes = jnp.asarray(rng.integers(0, hi, (b, h, w)).astype(np.int32))
+        sweep = dict(mode_set="all", decision="satd")
+        fast = encode_planes_closed_loop(
+            planes, jnp.int32(qp), n=n, allow_fast=True, **sweep, **kw
+        )
+        slow = encode_planes_closed_loop(
+            planes, jnp.int32(qp), n=n, allow_fast=False, **sweep, **kw
+        )
+        for k in ("recon", "levels", "modes"):
+            assert np.array_equal(np.asarray(fast[k]), np.asarray(slow[k])), k
+
+    @pytest.mark.parametrize("n", [4, 8, 16])
+    def test_sizes(self, n):
+        self._check(n, 3 * n, 4 * n)
+
+    def test_tall_frame(self):
+        """nby > nbx exercises the left-edge/extension masks."""
+        self._check(8, 64, 32, qp=35)
+
+    def test_single_block_row_and_col(self):
+        self._check(8, 8, 64)
+        self._check(8, 64, 8)
+
+    def test_non_aligned_dims(self):
+        """Conformance-window padding feeds the kernel aligned planes."""
+        self._check(8, 61, 70, qp=28)
+
+    def test_dst_4x4(self):
+        self._check(4, 40, 48, use_dst=True)
+
+    def test_10bit_rescale(self):
+        self._check(4, 24, 24, qp=30, bit_depth=10, dequant_rescale=True)
+
+    def test_batched(self):
+        self._check(8, 64, 32, b=2, qp=35)
+
+    def test_decode_round_trip(self):
+        """decode_plane reproduces the kernel's recon from (levels,
+        modes) alone — the defining closed-loop property, over the full
+        35-mode decision range."""
+        rng = np.random.default_rng(77)
+        h, w = 48, 64
+        plane = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.int32))
+        enc = encode_plane_closed_loop(
+            plane, jnp.int32(26), n=8, mode_set="all", decision="satd",
+            allow_fast=True,
+        )
+        assert len(np.unique(np.asarray(enc["modes"]))) > 2  # real sweep
+        dec = decode_plane(
+            enc["levels"], enc["modes"], jnp.int32(26), n=8,
+            height=h, width=w,
+        )
+        assert np.array_equal(np.asarray(dec), np.asarray(enc["recon"]))
+
+
 class TestDecoder:
     @pytest.mark.parametrize("n", [4, 8])
     @pytest.mark.parametrize("qp", [10, 30, 50])
