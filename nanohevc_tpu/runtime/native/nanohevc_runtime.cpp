@@ -252,7 +252,19 @@ struct ResidualContexts {
   Context sig[32];
   Context gt1;
   Context gt2;
+  Context last_full;        // last == ncoef-1 escape (dense blocks)
+  Context last_prefix[11];  // truncated-unary last-position prefix bins
 };
+
+// Highest set bit index of x >= 1 (floor(log2(x))).
+inline int bit_len_m1(uint32_t x) {
+  int len = 0;
+  while (x > 1) {
+    x >>= 1;
+    ++len;
+  }
+  return len;
+}
 
 void encode_eg0(RangeEncoder* enc, uint32_t v) {
   uint64_t x = static_cast<uint64_t>(v) + 1;
@@ -279,16 +291,54 @@ uint32_t decode_eg0(RangeDecoder* dec) {
   return static_cast<uint32_t>(x - 1);
 }
 
+// Last significant position, HEVC-style: a context-coded truncated-
+// unary prefix (the bit length of last+1) and a bypass suffix (its low
+// bits).  This bounds the sig_coeff_flag loop at `last` instead of
+// ncoef — for typical sparse blocks a 3-10x cut in coded bins, the
+// dominant CPU cost of the stage — while trailing-zero positions cost
+// ZERO bits instead of a near-free-but-nonzero adapted sig bin each.
+void encode_last(RangeEncoder* enc, ResidualContexts* cx, int32_t last,
+                 int32_t ncoef) {
+  // Dense escape: a full block (last == ncoef-1) is one adapted bin
+  // instead of max_len prefix ones + max_len incompressible suffix
+  // zeros — the worst-case payload (dense noise) is where every bit
+  // counts twice.
+  enc->encode(&cx->last_full, last == ncoef - 1);
+  if (last == ncoef - 1) return;
+  uint32_t x = static_cast<uint32_t>(last) + 1;  // in [1, ncoef-1]
+  int len = bit_len_m1(x);
+  int max_len = bit_len_m1(static_cast<uint32_t>(ncoef) - 1);
+  for (int i = 0; i < len; ++i) enc->encode(&cx->last_prefix[i], 1);
+  if (len < max_len) enc->encode(&cx->last_prefix[len], 0);
+  for (int i = len - 1; i >= 0; --i) enc->encode_bypass((x >> i) & 1);
+}
+
+int32_t decode_last(RangeDecoder* dec, ResidualContexts* cx, int32_t ncoef) {
+  if (dec->decode(&cx->last_full)) return ncoef - 1;
+  int max_len = bit_len_m1(static_cast<uint32_t>(ncoef) - 1);
+  int len = 0;
+  while (len < max_len && dec->decode(&cx->last_prefix[len])) ++len;
+  uint32_t x = 1;
+  for (int i = 0; i < len; ++i) x = (x << 1) | dec->decode_bypass();
+  int32_t last = static_cast<int32_t>(x) - 1;
+  if (last >= ncoef) {  // only reachable from a corrupt stream
+    dec->set_failed();
+    last = ncoef - 1;
+  }
+  return last;
+}
+
 void encode_block(RangeEncoder* enc, ResidualContexts* cx,
                   const int32_t* levels, int32_t ncoef) {
-  int has = 0;
-  for (int32_t i = 0; i < ncoef; ++i) has |= (levels[i] != 0);
-  enc->encode(&cx->cbf, has);
-  if (!has) return;
-  for (int32_t p = 0; p < ncoef; ++p) {
+  int32_t last = ncoef - 1;
+  while (last >= 0 && levels[last] == 0) --last;
+  enc->encode(&cx->cbf, last >= 0);
+  if (last < 0) return;
+  encode_last(enc, cx, last, ncoef);
+  for (int32_t p = 0; p <= last; ++p) {
     int32_t l = levels[p];
     int sig = l != 0;
-    enc->encode(&cx->sig[p < 31 ? p : 31], sig);
+    if (p < last) enc->encode(&cx->sig[p < 31 ? p : 31], sig);
     if (!sig) continue;
     uint32_t a = l < 0 ? static_cast<uint32_t>(-(int64_t)l)
                        : static_cast<uint32_t>(l);
@@ -305,21 +355,14 @@ void encode_block(RangeEncoder* enc, ResidualContexts* cx,
 
 void decode_block(RangeDecoder* dec, ResidualContexts* cx, int32_t* levels,
                   int32_t ncoef) {
+  std::memset(levels, 0, sizeof(int32_t) * ncoef);
   int has = dec->decode(&cx->cbf);
-  if (!has || dec->failed()) {
-    std::memset(levels, 0, sizeof(int32_t) * ncoef);
-    return;
-  }
-  for (int32_t p = 0; p < ncoef; ++p) {
-    if (dec->failed()) {
-      levels[p] = 0;
-      continue;
-    }
-    int sig = dec->decode(&cx->sig[p < 31 ? p : 31]);
-    if (!sig) {
-      levels[p] = 0;
-      continue;
-    }
+  if (!has || dec->failed()) return;
+  int32_t last = decode_last(dec, cx, ncoef);
+  for (int32_t p = 0; p <= last; ++p) {
+    if (dec->failed()) return;
+    int sig = p == last ? 1 : dec->decode(&cx->sig[p < 31 ? p : 31]);
+    if (!sig) continue;
     uint32_t a = 1;
     if (dec->decode(&cx->gt1)) {
       a = 2;
@@ -331,22 +374,38 @@ void decode_block(RangeDecoder* dec, ResidualContexts* cx, int32_t* levels,
 }
 
 // ---------------------------------------------------------------------------
-// Payload integrity: FNV-1a over the level array, appended LE after the
-// range-coded bytes.  The range coder itself cannot detect corruption
-// (any byte string decodes to SOME level sequence); the checksum turns
-// silent mis-decodes into hard failures.
+// Payload integrity: a 4-lane multiply-xor hash over the level array,
+// appended LE after the range-coded bytes.  The range coder itself
+// cannot detect corruption (any byte string decodes to SOME level
+// sequence); the checksum turns silent mis-decodes into hard failures.
+//
+// Four independent 64-bit lanes break the serial multiply dependency
+// chain a classic byte-wise FNV-1a imposes — measured, the one-lane
+// byte hash alone cost ~13 ms per 1080p frame (2 M coefficients x 4
+// bytes x a 4-cycle-latency chain), capping the whole entropy stage at
+// ~150 Mpix/s even for all-zero payloads.  The lanes pipeline in one
+// multiplier port; the final mix folds them order-sensitively.
 // ---------------------------------------------------------------------------
 
-uint32_t fnv1a(const int32_t* levels, int64_t count) {
-  uint32_t h = 2166136261u;
-  for (int64_t i = 0; i < count; ++i) {
-    uint32_t v = static_cast<uint32_t>(levels[i]);
-    for (int b = 0; b < 4; ++b) {
-      h ^= (v >> (8 * b)) & 0xffu;
-      h *= 16777619u;
-    }
+constexpr uint64_t kHashMul = 0x9e3779b97f4a7c15ull;  // 2^64 / phi
+
+uint32_t level_hash(const int32_t* levels, int64_t count) {
+  uint64_t h[4] = {0x243f6a8885a308d3ull, 0x13198a2e03707344ull,
+                   0xa4093822299f31d0ull, 0x082efa98ec4e6c89ull};
+  int64_t i = 0;
+  for (; i + 4 <= count; i += 4) {
+    h[0] = (h[0] ^ static_cast<uint32_t>(levels[i + 0])) * kHashMul;
+    h[1] = (h[1] ^ static_cast<uint32_t>(levels[i + 1])) * kHashMul;
+    h[2] = (h[2] ^ static_cast<uint32_t>(levels[i + 2])) * kHashMul;
+    h[3] = (h[3] ^ static_cast<uint32_t>(levels[i + 3])) * kHashMul;
   }
-  return h;
+  for (int l = 0; i < count; ++i, ++l)
+    h[l] = (h[l] ^ static_cast<uint32_t>(levels[i])) * kHashMul;
+  uint64_t x = h[0];
+  for (int l = 1; l < 4; ++l) x = (x ^ h[l] ^ (h[l] >> 29)) * kHashMul;
+  x ^= x >> 32;
+  x *= kHashMul;
+  return static_cast<uint32_t>(x ^ (x >> 29));
 }
 
 // ---------------------------------------------------------------------------
@@ -387,14 +446,24 @@ int eg0_bits(uint32_t v) {
 
 void count_block(RateCounter* rc, ResidualContexts* cx, const int32_t* levels,
                  int32_t ncoef) {
-  int has = 0;
-  for (int32_t i = 0; i < ncoef; ++i) has |= (levels[i] != 0);
-  rc->count(&cx->cbf, has);
-  if (!has) return;
-  for (int32_t p = 0; p < ncoef; ++p) {
+  int32_t last = ncoef - 1;
+  while (last >= 0 && levels[last] == 0) --last;
+  rc->count(&cx->cbf, last >= 0);
+  if (last < 0) return;
+  rc->count(&cx->last_full, last == ncoef - 1);
+  if (last != ncoef - 1) {
+    // last-position: ctx-coded truncated-unary prefix + bypass suffix
+    uint32_t x = static_cast<uint32_t>(last) + 1;
+    int len = bit_len_m1(x);
+    int max_len = bit_len_m1(static_cast<uint32_t>(ncoef) - 1);
+    for (int i = 0; i < len; ++i) rc->count(&cx->last_prefix[i], 1);
+    if (len < max_len) rc->count(&cx->last_prefix[len], 0);
+    for (int i = 0; i < len; ++i) rc->count_bypass();
+  }
+  for (int32_t p = 0; p <= last; ++p) {
     int32_t l = levels[p];
     int sig = l != 0;
-    rc->count(&cx->sig[p < 31 ? p : 31], sig);
+    if (p < last) rc->count(&cx->sig[p < 31 ? p : 31], sig);
     if (!sig) continue;
     uint32_t a = l < 0 ? static_cast<uint32_t>(-(int64_t)l)
                        : static_cast<uint32_t>(l);
@@ -533,7 +602,7 @@ int64_t nhr_encode_levels(const int32_t* levels, int64_t nb, int32_t ncoef,
     encode_block(&enc, &cx, levels + b * ncoef, ncoef);
   }
   enc.finish();
-  uint32_t h = fnv1a(levels, nb * ncoef);
+  uint32_t h = level_hash(levels, nb * ncoef);
   for (int b = 0; b < 4; ++b) buf.push_back((h >> (8 * b)) & 0xffu);
   if (static_cast<int64_t>(buf.size()) > cap) return -1;
   std::memcpy(out, buf.data(), buf.size());
@@ -557,7 +626,7 @@ int64_t nhr_decode_levels(const uint8_t* data, int64_t nbytes, int64_t nb,
   uint32_t want = 0;
   for (int b = 0; b < 4; ++b)
     want |= static_cast<uint32_t>(data[nbytes - 4 + b]) << (8 * b);
-  if (fnv1a(out, nb * ncoef) != want) return 2;
+  if (level_hash(out, nb * ncoef) != want) return 2;
   return 0;
 }
 
@@ -589,7 +658,7 @@ int64_t nhr_encode_levels_tiled(const int32_t* levels, int64_t nb,
   }
   for (int32_t t = 0; t < n_tiles; ++t)
     buf.insert(buf.end(), bufs[t].begin(), bufs[t].end());
-  uint32_t h = fnv1a(levels, nb * ncoef);
+  uint32_t h = level_hash(levels, nb * ncoef);
   for (int b = 0; b < 4; ++b) buf.push_back((h >> (8 * b)) & 0xffu);
   if (static_cast<int64_t>(buf.size()) > cap) return -1;
   std::memcpy(out, buf.data(), buf.size());
@@ -636,7 +705,7 @@ int64_t nhr_decode_levels_tiled(const uint8_t* data, int64_t nbytes,
   uint32_t want = 0;
   for (int b = 0; b < 4; ++b)
     want |= static_cast<uint32_t>(data[nbytes - 4 + b]) << (8 * b);
-  if (fnv1a(out, nb * ncoef) != want) return 2;
+  if (level_hash(out, nb * ncoef) != want) return 2;
   return 0;
 }
 
@@ -694,6 +763,6 @@ void nhr_block_bits(const int32_t* levels, int64_t nb, int32_t ncoef,
   }
 }
 
-int32_t nhr_version() { return 16; }
+int32_t nhr_version() { return 17; }
 
 }  // extern "C"
