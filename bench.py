@@ -422,30 +422,41 @@ def run_bench() -> None:
     add_row("1080p closed-loop wavefront (reconstruction-fed), 8x8", wf, ok)
 
     # ---- Row 7: closed-loop 35-mode SATD search (the honest encoder's
-    # closed-loop config).  b=4 with 2-step scan unroll is the measured
-    # sweet spot (b=8/16/32 and unroll 1/4 are all slower).  Gate:
+    # closed-loop config), on the fused wavefront mode-search kernel
+    # (kernels/wavefront_mode_slab.py; auto-selected).  Two gates: the
+    # XLA-scan path must agree bit-exactly on one frame (the scan is
+    # itself pinned to the sequential per-block oracle), and
     # decode_plane must reproduce the encoder's reconstruction exactly
     # from (levels, modes) alone — the defining closed-loop property.
     from nanohevc_tpu.models.wavefront import decode_plane
 
-    frames_cl = jnp.stack([plane] * 4)
+    cl_b = int(os.environ.get("NANOHEVC_BENCH_CL_BATCH", "4"))
+    frames_cl = jnp.stack([plane] * cl_b)
     cl_fn = jax.jit(
         lambda ps: encode_planes_closed_loop(
             ps, jnp.int32(QP), n=8, mode_set="all", decision="satd",
-            allow_fast=False, unroll=2,
         )
     )
     cl = time_batch(
         cl_fn, frames_cl, lambda out: int(out["recon"][0, 0, 0]),
-        H * W * 4, 8.0, "closed_loop_35",
+        H * W * cl_b, 8.0, "closed_loop_35",
     )
     got = cl_fn(frames_cl)
+    want = jax.jit(
+        lambda p: encode_plane_closed_loop(
+            p, jnp.int32(QP), n=8, mode_set="all", decision="satd",
+            allow_fast=False,
+        )
+    )(plane)
+    ok = all(
+        device_equal(got[k][0], want[k]) for k in ("recon", "levels", "modes")
+    )
     dec = jax.jit(
         lambda lv, md: decode_plane(
             lv, md, jnp.int32(QP), n=8, height=H, width=W
         )
     )(got["levels"][0], got["modes"][0])
-    ok = device_equal(dec, got["recon"][0])
+    ok = ok and device_equal(dec, got["recon"][0])
     add_row("1080p closed-loop 35-mode SATD search, 8x8", cl, ok)
 
     # ---- Rows 8-11: 16x16 / 32x32 Mosaic-compiled gates ------------------
