@@ -35,7 +35,6 @@ def textured(h: int, w: int) -> np.ndarray:
     img = (
         96 + 0.35 * xx + 0.2 * yy
         + 28 * np.sin(xx / 9.0) * np.cos(yy / 13.0)
-        + 18 * np.sin((xx + yy) / 5.0)
         + rng.normal(0, 7, (h, w))
     )
     return img.clip(0, 255).astype(np.uint8)
