@@ -234,6 +234,18 @@ class TestCLI:
             main(["encode", str(src), "--width", "64", "--height", "64"])
         assert "too small" in capsys.readouterr().out
 
+    def test_platform_flag(self, capsys):
+        """--platform cpu pins the backend via jax.config (works after
+        jax import, unlike the JAX_PLATFORMS env var)."""
+        import jax
+
+        from nanohevc_tpu.cli import main
+
+        main(["--platform", "cpu", "demo", "--width", "16", "--height",
+              "16", "--block-size", "8"])
+        assert "PSNR" in capsys.readouterr().out
+        assert jax.default_backend() == "cpu"
+
 
 class TestRDOCbf:
     def test_rdo_reduces_rate_and_bounds_quality_loss(self):

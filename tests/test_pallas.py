@@ -370,6 +370,24 @@ class TestModeSearchKernel:
         for k in ("recon", "levels_slab", "modes_slab"):
             assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
 
+    @pytest.mark.parametrize("n", [4, 8])
+    def test_auto_dispatch_matches_slab(self, n):
+        """mode_search_encode_plane_auto output == the slab kernel for
+        every N it routes (N=4 rides the grouped kernel)."""
+        from nanohevc_tpu.kernels.mode_search_grouped import (
+            mode_search_encode_plane_auto,
+        )
+        from nanohevc_tpu.kernels.mode_search_slab import (
+            mode_search_encode_plane,
+        )
+
+        rng = np.random.default_rng(n)
+        plane = jnp.asarray(rng.integers(0, 256, (4 * n, 6 * n)).astype(np.int32))
+        a = mode_search_encode_plane_auto(plane, 26, n, interpret=True)
+        b = mode_search_encode_plane(plane, 26, n, interpret=True)
+        for k in ("recon", "levels_slab", "modes_slab"):
+            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+
     def test_fast_modes_wrapper_matches_full(self):
         from nanohevc_tpu.models.all_intra import (
             encode_plane_fast_modes,
