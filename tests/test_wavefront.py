@@ -122,6 +122,90 @@ class TestFusedKernelParity:
                 ), (k, i)
 
 
+def simulate_closed_loop_modes(plane: np.ndarray, n: int, qp: int,
+                               use_dst: bool = False):
+    """Sequential per-block 35-mode oracle of the closed-loop encode.
+
+    Walks anti-diagonals (the wavefront order), building each block's
+    2N+1 top/left reference arrays from the partially-reconstructed
+    plane under the closed loop's availability rule: same-diagonal
+    neighbors (top-right / below-left extensions) read as zeros, frame
+    edges replicate the last reconstructed sample, missing sides fill
+    with 128.  Writes a diagonal's reconstructions only after encoding
+    the whole diagonal (blocks on one diagonal never see each other).
+    Decision = min SATD over [planar, DC, angular 2-34], ties to the
+    lowest mode index — decide_modes("all", "satd") semantics.
+    """
+    h, w = plane.shape
+    nby, nbx = h // n, w // n
+    from nanohevc_tpu.ref.metrics import hadamard_matrix
+
+    recon = np.zeros((h, w), np.int32)
+    hmat = hadamard_matrix(n)
+
+    def satd(d):
+        return int(np.abs(hmat @ d.astype(np.int64) @ hmat.T).sum())
+
+    levels = np.zeros((nby * nbx, n, n), np.int32)
+    modes = np.zeros(nby * nbx, np.int32)
+    for d in range(nby + nbx - 1):
+        writes = []
+        for by in range(max(0, d - nbx + 1), min(nby, d + 1)):
+            bx = d - by
+            y0, x0 = by * n, bx * n
+            orig = plane[y0 : y0 + n, x0 : x0 + n].astype(np.int32)
+            top = np.zeros(2 * n + 1, np.int32)
+            left = np.zeros(2 * n + 1, np.int32)
+            corner = (
+                128 if by == 0 or bx == 0 else int(recon[y0 - 1, x0 - 1])
+            )
+            if by == 0:
+                top[:] = 128
+            else:
+                top[0] = corner
+                top[1 : n + 1] = recon[y0 - 1, x0 : x0 + n]
+                if bx == nbx - 1:
+                    top[n + 1 :] = top[n]        # frame-right replication
+                else:
+                    top[n + 1 :] = recon[y0 - 1, x0 + n : x0 + 2 * n]
+            if bx == 0:
+                left[:] = 128
+            else:
+                left[0] = corner
+                left[1 : n + 1] = recon[y0 : y0 + n, x0 - 1]
+                if by == nby - 1:
+                    left[n + 1 :] = left[n]      # frame-bottom replication
+                else:
+                    left[n + 1 :] = recon[y0 + n : y0 + 2 * n, x0 - 1]
+            cand = [
+                oracle.intra_planar_predict(
+                    top[1:], left[1:], int(top[n]), int(left[n]), n
+                ),
+                oracle.intra_dc_predict(top[1 : n + 1], left[1 : n + 1], n),
+            ] + [
+                oracle.intra_angular_predict(top, left, corner, m, n)
+                for m in range(2, 35)
+            ]
+            costs = [satd(orig - p.astype(np.int32)) for p in cand]
+            mode = int(np.argmin(costs))         # ties -> lowest index
+            pred = cand[mode].astype(np.int32)
+            lvl = oracle.quantize(
+                oracle.forward_transform(orig - pred, use_dst=use_dst),
+                qp, n,
+            )
+            inv = oracle.inverse_transform(
+                oracle.dequantize(lvl, qp, n), use_dst=use_dst
+            )
+            rb = np.clip(pred + inv, 0, 255)
+            writes.append((y0, x0, rb))
+            bi = by * nbx + bx
+            levels[bi] = lvl
+            modes[bi] = mode
+        for y0, x0, rb in writes:
+            recon[y0 : y0 + n, x0 : x0 + n] = rb
+    return recon, levels, modes
+
+
 class TestModeSearchKernelParity:
     """The fused 35-mode wavefront kernel vs the XLA scan, bit-for-bit.
 
@@ -169,6 +253,31 @@ class TestModeSearchKernelParity:
 
     def test_batched(self):
         self._check(8, 64, 32, b=2, qp=35)
+
+    @pytest.mark.parametrize("n,dst", [(4, True), (8, False)])
+    def test_matches_sequential_oracle(self, n, dst):
+        """Both paths (fused kernel and XLA scan) == the sequential
+        per-block 35-mode oracle, bit-for-bit — the direct ground-truth
+        pin, independent of the open-loop decide_modes fuzzing."""
+        rng = np.random.default_rng(35 + n)
+        h, w = 4 * n, 6 * n
+        plane = rng.integers(0, 256, (h, w)).astype(np.int32)
+        want_recon, want_levels, want_modes = simulate_closed_loop_modes(
+            plane, n, 24, use_dst=dst
+        )
+        from nanohevc_tpu.ops import scan_unpack
+
+        for fast in (True, False):
+            out = encode_plane_closed_loop(
+                jnp.asarray(plane), jnp.int32(24), n=n, mode_set="all",
+                decision="satd", use_dst=dst, allow_fast=fast,
+            )
+            assert np.array_equal(np.asarray(out["recon"]), want_recon), fast
+            assert np.array_equal(np.asarray(out["modes"]), want_modes), fast
+            got_levels = np.asarray(
+                scan_unpack(out["levels"], modes=out["modes"])
+            )
+            assert np.array_equal(got_levels, want_levels), fast
 
     def test_decode_round_trip(self):
         """decode_plane reproduces the kernel's recon from (levels,
