@@ -347,7 +347,7 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from nanohevc_tpu.models.wavefront import decode_plane
+    from nanohevc_tpu.models.wavefront import decode_plane, decode_planes
     from nanohevc_tpu.runtime.bitstream import _split_nals, parse_params
     from nanohevc_tpu.runtime import entropy as E
 
@@ -377,31 +377,52 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
 
     frames = decode_sequence_levels(bitstream_path)
     n_written = 0
+    dt = np.uint8 if bit_depth <= 8 else np.dtype("<u2")
+    batch = 8
     with open(output_path, "wb") as out:
-        for fr in frames:
+        for b0 in range(0, len(frames), batch):
+            chunk = frames[b0 : b0 + batch]
+            # One vmapped dispatch per plane kind per chunk (frames are
+            # independent; per-frame slice QP rides the batch) — the
+            # frame-by-frame eager decode re-dispatched 3 * n_frames
+            # unjitted diagonal scans.
+            planes_out = {}
             for name, (h, w) in (
                 ("Y", (height, width)),
                 ("U", (height // 2, width // 2)),
                 ("V", (height // 2, width // 2)),
             ):
-                sl = fr[name]
-                bs = sl["block_size"]
-                plane = decode_plane(
-                    jnp.asarray(sl["levels"]),
-                    jnp.asarray(sl["modes"]),
-                    jnp.int32(sl.get("qp", qp)),  # slice qp overrides PPS
-                    n=bs,
-                    height=h,
-                    width=w,
+                sls = [fr[name] for fr in chunk]
+                bs = sls[0]["block_size"]
+                if any(s["block_size"] != bs for s in sls):
+                    # mixed per-slice block sizes: decode singly
+                    planes_out[name] = [
+                        np.asarray(decode_plane(
+                            jnp.asarray(s["levels"]), jnp.asarray(s["modes"]),
+                            jnp.int32(s.get("qp", qp)), n=s["block_size"],
+                            height=h, width=w,
+                            use_dst=(name == "Y" and s["block_size"] == 4),
+                            bit_depth=bit_depth, scan=scan,
+                            dequant_rescale=rescale,
+                            intra_smoothing=smoothing and name == "Y",
+                        )) for s in sls
+                    ]
+                    continue
+                recon = decode_planes(
+                    jnp.asarray(np.stack([s["levels"] for s in sls])),
+                    jnp.asarray(np.stack([s["modes"] for s in sls])),
+                    jnp.asarray([s.get("qp", qp) for s in sls], jnp.int32),
+                    n=bs, height=h, width=w,
                     use_dst=(name == "Y" and bs == 4),
-                    bit_depth=bit_depth,
-                    scan=scan,
+                    bit_depth=bit_depth, scan=scan,
                     dequant_rescale=rescale,
                     intra_smoothing=smoothing and name == "Y",
                 )
-                dt = np.uint8 if bit_depth <= 8 else np.dtype("<u2")
-                out.write(np.asarray(plane).astype(dt).tobytes())
-            n_written += 1
+                planes_out[name] = list(np.asarray(recon).astype(dt))
+            for i in range(len(chunk)):
+                for name in ("Y", "U", "V"):
+                    out.write(np.asarray(planes_out[name][i], dtype=dt).tobytes())
+                n_written += 1
     return n_written
 
 

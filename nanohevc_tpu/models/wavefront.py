@@ -453,6 +453,51 @@ def decode_frame(bitstream: bytes):
     return recon
 
 
+@lru_cache(maxsize=None)
+def _decode_planes_jit(n: int, height: int, width: int, use_dst: bool,
+                       bit_depth: int, scan: str, dequant_rescale: bool,
+                       intra_smoothing: bool):
+    """Compiled batched decoder: (B, nb, N*N), (B, nb), (B,) -> (B, H, W).
+
+    Frames are independent, so the batch axis vmaps straight over the
+    per-frame diagonal scan (per-frame qp included — rate-controlled
+    sequences carry a different slice QP per frame).  One compile per
+    (geometry, options, batch) serves the whole sequence decode.
+    """
+    import jax
+
+    def one(levels, modes, qp):
+        return decode_plane(
+            levels, modes, qp, n=n, height=height, width=width,
+            use_dst=use_dst, bit_depth=bit_depth, scan=scan,
+            dequant_rescale=dequant_rescale,
+            intra_smoothing=intra_smoothing,
+        )
+
+    return jax.jit(jax.vmap(one))
+
+
+def decode_planes(
+    levels: jnp.ndarray,
+    modes: jnp.ndarray,
+    qps: jnp.ndarray,
+    *,
+    n: int,
+    height: int,
+    width: int,
+    use_dst: bool = False,
+    bit_depth: int = 8,
+    scan: str = "diag",
+    dequant_rescale: bool = False,
+    intra_smoothing: bool = False,
+) -> jnp.ndarray:
+    """Batched decode_plane: (B, nb, N*N) levels + (B, nb) modes +
+    (B,) per-frame QPs -> (B, H, W) reconstructions, one dispatch."""
+    fn = _decode_planes_jit(n, height, width, use_dst, bit_depth, scan,
+                            dequant_rescale, intra_smoothing)
+    return fn(levels, modes, qps)
+
+
 def decode_plane(
     levels: jnp.ndarray,
     modes: jnp.ndarray,

@@ -299,6 +299,33 @@ class TestModeSearchKernelParity:
 
 
 class TestDecoder:
+    def test_batched_decode_matches_per_frame(self):
+        """decode_planes == decode_plane per frame, incl. per-frame QP."""
+        from nanohevc_tpu.models.wavefront import decode_planes
+
+        rng = np.random.default_rng(4)
+        h, w, n = 24, 40, 8
+        qps = [18, 30, 44]
+        enc = [
+            encode_plane_closed_loop(
+                jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.int32)),
+                jnp.int32(q), n=n,
+            )
+            for q in qps
+        ]
+        batched = decode_planes(
+            jnp.stack([e["levels"] for e in enc]),
+            jnp.stack([e["modes"] for e in enc]),
+            jnp.asarray(qps, jnp.int32),
+            n=n, height=h, width=w,
+        )
+        for i, (e, q) in enumerate(zip(enc, qps)):
+            one = decode_plane(
+                e["levels"], e["modes"], jnp.int32(q), n=n, height=h, width=w
+            )
+            assert np.array_equal(np.asarray(batched[i]), np.asarray(one)), i
+            assert np.array_equal(np.asarray(one), np.asarray(e["recon"])), i
+
     @pytest.mark.parametrize("n", [4, 8])
     @pytest.mark.parametrize("qp", [10, 30, 50])
     def test_decode_reproduces_encoder_recon(self, n, qp):
