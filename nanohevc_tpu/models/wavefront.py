@@ -217,9 +217,12 @@ def encode_planes_closed_loop(
     raster order, "modes" (B, nb)}.  Frames are independent, so the
     batch axis rides the Pallas kernel's grid (or `vmap` on the XLA
     path) - multi-frame diagonal interleaving: B frames' same-index
-    diagonals per sequential step.  allow_fast=None auto-selects the
-    fused kernel where it applies (dc_planar/energy); False forces the
-    XLA scan (the kernel's bit-exactness oracle).
+    diagonals per sequential step.  allow_fast=None auto-selects a
+    fused kernel where one applies: dc_planar/energy single-frame
+    (wavefront_slab) or the full 35-mode SATD search at any batch
+    (wavefront_mode_slab); False forces the XLA scan (the kernels'
+    bit-exactness oracle, itself pinned to the sequential per-block
+    simulation in tests/test_wavefront.py).
     """
     b, h, w = planes.shape
     src = planes.astype(jnp.int32)
