@@ -294,15 +294,24 @@ def main(argv: list[str] | None = None) -> None:
         prog="nano-hevc-tpu",
         description="TPU-native HEVC all-intra encoder",
     )
+    env_platform = os.environ.get("NANOHEVC_PLATFORM", "auto")
+    if env_platform not in ("auto", "cpu", "tpu"):
+        # argparse validates `choices` only for command-line values,
+        # not defaults — reject a bad env var with the same clean error
+        parser.error(
+            f"NANOHEVC_PLATFORM={env_platform!r}: invalid choice "
+            "(choose from 'auto', 'cpu', 'tpu')"
+        )
     parser.add_argument(
         "--platform",
         choices=("auto", "cpu", "tpu"),
-        default=os.environ.get("NANOHEVC_PLATFORM", "auto"),
+        default=env_platform,
         help="JAX backend: auto = the process default (TPU where "
         "present), cpu = force the host backend (all outputs are "
         "bit-identical; the codec is integer arithmetic).  Also set "
-        "via NANOHEVC_PLATFORM.  Unlike the JAX_PLATFORMS env var this "
-        "works after jax has been imported (jax.config.update).",
+        "via NANOHEVC_PLATFORM.  Applied via jax.config.update, which "
+        "works after jax import but before its first backend use — "
+        "i.e. always, for a fresh CLI process.",
     )
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -172,15 +172,20 @@ def make_closed_loop_encoder(
     frames are independent of each other, so the batch shards over the
     'frame' axis with zero communication (the wavefront dependency is
     *within* a frame); rows are replicated — the diagonal recurrence
-    cannot split spatially.  The XLA scan path is used under jit so the
-    SPMD partitioner sees only plain HLO (per-shard batches are > 1
-    anyway, where that path wins — see models/wavefront.py).
+    cannot split spatially.  Under a mesh the per-shard encode runs in
+    `shard_map` (the fused wavefront kernels are custom calls the SPMD
+    partitioner cannot split), so path auto-selection applies per
+    shard: the 35-mode SATD search rides kernels/wavefront_mode_slab,
+    dc_planar multi-frame shards ride the XLA scan (the measured
+    winner at batch >= 2 — see models/wavefront.py).  mean_psnr is a
+    `pmean` over 'frame' (even frame split, so it equals the global
+    mean).
     """
     from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
 
     n = config.block_size if is_luma else config.chroma_block_size()
 
-    def step(planes, qp):
+    def local_step(planes, qp):
         out = encode_planes_closed_loop(
             planes.astype(jnp.int32),
             qp,
@@ -191,7 +196,6 @@ def make_closed_loop_encoder(
             bit_depth=config.bit_depth,
             scan=config.scan,
             dequant_rescale=config.dequant_rescale,
-            allow_fast=False,
         )
         frame_psnr = jax.vmap(psnr)(planes.astype(jnp.int32), out["recon"])
         out["psnr"] = frame_psnr
@@ -199,16 +203,30 @@ def make_closed_loop_encoder(
         return out
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
-    in_shardings = (
-        NamedSharding(mesh, P("frame", None, None)),
-        NamedSharding(mesh, P()),
+        return jax.jit(local_step, donate_argnums=(0,) if donate else ())
+
+    from jax import shard_map
+
+    def sharded_step(planes, qp):
+        out = local_step(planes, qp)
+        out["mean_psnr"] = jax.lax.pmean(out["mean_psnr"], "frame")
+        return out
+
+    out_specs = {
+        "recon": P("frame", None, None),
+        "levels": P("frame", None, None),
+        "modes": P("frame", None),
+        "psnr": P("frame"),
+        "mean_psnr": P(),
+    }
+    fn = shard_map(
+        sharded_step,
+        mesh=mesh,
+        in_specs=(P("frame", None, None), P()),
+        out_specs=out_specs,
+        check_vma=False,
     )
-    return jax.jit(
-        step,
-        in_shardings=in_shardings,
-        donate_argnums=(0,) if donate else (),
-    )
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def encode_batch_sharded(

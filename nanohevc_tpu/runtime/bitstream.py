@@ -32,6 +32,11 @@ import numpy as np
 from nanohevc_tpu.runtime import entropy
 
 
+# Container format version, written as vps_version by the native
+# runtime (nhr_write_params) and gated on decode: version 2 = the
+# round-3 last-position residual syntax + 4-lane level checksum.
+FORMAT_VERSION = 2
+
 _SCAN_IDX = {"diag": 0, "horizontal": 1, "vertical": 2, "mode": 3}
 _SCAN_NAME = {v: k for k, v in _SCAN_IDX.items()}
 _ENTROPY_IDX = {"range": 0, "cabac": 1}
@@ -286,6 +291,16 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
     names = {0: "Y", 1: "U", 2: "V"}
     planes: Dict[str, dict] = {}
     for nal_type, payload in _split_nals(data):
+        if nal_type == entropy.NAL_VPS:
+            v = parse_params(payload).get("version")
+            if v != FORMAT_VERSION:
+                raise entropy.CorruptBitstreamError(
+                    f"bitstream container format version {v}; this build "
+                    f"reads version {FORMAT_VERSION} (the residual syntax "
+                    "and level checksum changed) — re-encode the source "
+                    "with this framework version"
+                )
+            continue
         if nal_type in (entropy.NAL_SPS, entropy.NAL_PPS):
             planes.setdefault("params", {}).update(parse_params(payload))
             continue

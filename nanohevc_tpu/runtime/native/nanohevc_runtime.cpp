@@ -253,7 +253,8 @@ struct ResidualContexts {
   Context gt1;
   Context gt2;
   Context last_full;        // last == ncoef-1 escape (dense blocks)
-  Context last_prefix[11];  // truncated-unary last-position prefix bins
+  Context last_prefix[31];  // truncated-unary last-position prefix bins
+                            // (bit_len_m1 of any int32 ncoef is < 31)
 };
 
 // Highest set bit index of x >= 1 (floor(log2(x))).
@@ -729,7 +730,8 @@ int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
   bw.put_bits(0x4e48u, 16);  // "NH" magic
   bw.put_bits(which, 8);
   if (which == 0) {          // VPS: version info
-    bw.put_ue(1);            // vps_version
+    bw.put_ue(2);            // vps_version: 2 = last-position residual
+                             // syntax + 4-lane level hash (round 3)
     bw.put_ue(0);            // reserved
   } else if (which == 1) {   // SPS: geometry
     bw.put_ue(static_cast<uint32_t>(width));
@@ -763,6 +765,6 @@ void nhr_block_bits(const int32_t* levels, int64_t nb, int32_t ncoef,
   }
 }
 
-int32_t nhr_version() { return 17; }
+int32_t nhr_version() { return 18; }
 
 }  // extern "C"

@@ -234,17 +234,41 @@ class TestCLI:
             main(["encode", str(src), "--width", "64", "--height", "64"])
         assert "too small" in capsys.readouterr().out
 
-    def test_platform_flag(self, capsys):
-        """--platform cpu pins the backend via jax.config (works after
-        jax import, unlike the JAX_PLATFORMS env var)."""
-        import jax
+    def test_platform_flag(self):
+        """--platform cpu pins the backend for a FRESH CLI process.
 
+        Must run in a subprocess: jax.config.update('jax_platforms')
+        is a no-op once this process's backend is initialized (and
+        would otherwise flip the rest of the suite's backend).  The
+        axon TPU plugin registration is stripped so the child cannot
+        hang on an unreachable device backend.
+        """
+        import os
+        import subprocess
+        import sys
+
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+        }
+        proc = subprocess.run(
+            [sys.executable, "-m", "nanohevc_tpu", "--platform", "cpu",
+             "demo", "--width", "16", "--height", "16",
+             "--block-size", "8"],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert "PSNR" in proc.stdout
+
+    def test_platform_env_validated(self, monkeypatch, capsys):
+        """A bad NANOHEVC_PLATFORM fails with the clean choices error
+        (argparse does not validate defaults against `choices`)."""
         from nanohevc_tpu.cli import main
 
-        main(["--platform", "cpu", "demo", "--width", "16", "--height",
-              "16", "--block-size", "8"])
-        assert "PSNR" in capsys.readouterr().out
-        assert jax.default_backend() == "cpu"
+        monkeypatch.setenv("NANOHEVC_PLATFORM", "gpu")
+        with pytest.raises(SystemExit):
+            main(["demo", "--width", "16", "--height", "16"])
+        assert "invalid choice" in capsys.readouterr().err
 
 
 class TestRDOCbf:

@@ -108,3 +108,24 @@ class TestSliceHeaderGeometryBound:
         data = assemble_bitstream(64, 64, 22, {"Y": (levels, 8)})
         out = parse_bitstream(data)
         np.testing.assert_array_equal(out["Y"]["levels"], levels)
+
+
+class TestFormatVersionGate:
+    def test_old_container_version_rejected(self):
+        """A stream whose VPS carries an older format version must fail
+        with a clear version message, not a misleading 'corrupt
+        checksum' from decoding version-1 residual syntax as version 2."""
+        from nanohevc_tpu.runtime.bitstream import _split_nals
+
+        levels = np.zeros((64, 64), np.int32)
+        good = assemble_bitstream(64, 64, 22, {"Y": (levels, 8)})
+        # VPS RBSP with vps_version = 1: magic "NH", which=0, ue(1)
+        # ('010'), ue(0) ('1'), rbsp stop bit + pad -> 0x58.
+        old_vps = b"\x4e\x48\x00\x58"
+        rebuilt = b"".join(
+            entropy.wrap_nal(t, old_vps if t == entropy.NAL_VPS else p)
+            for t, p in _split_nals(good)
+        )
+        with pytest.raises(entropy.CorruptBitstreamError,
+                           match="format version"):
+            parse_bitstream(rebuilt)

@@ -229,7 +229,7 @@ class TestModeSearchKernelParity:
         for k in ("recon", "levels", "modes"):
             assert np.array_equal(np.asarray(fast[k]), np.asarray(slow[k])), k
 
-    @pytest.mark.parametrize("n", [4, 8, 16])
+    @pytest.mark.parametrize("n", [4, 8, 16, 32])
     def test_sizes(self, n):
         self._check(n, 3 * n, 4 * n)
 
