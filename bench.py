@@ -431,10 +431,15 @@ def run_bench() -> None:
     from nanohevc_tpu.models.wavefront import decode_plane
 
     cl_b = int(os.environ.get("NANOHEVC_BENCH_CL_BATCH", "4"))
+    # escape hatch: NANOHEVC_BENCH_CL_XLA=1 forces the XLA scan path
+    # (e.g. if the fused kernel's Mosaic compile misbehaves on a
+    # degraded tunnel; the row is then the round-2 configuration)
+    cl_fast = None if os.environ.get("NANOHEVC_BENCH_CL_XLA") != "1" else False
     frames_cl = jnp.stack([plane] * cl_b)
     cl_fn = jax.jit(
         lambda ps: encode_planes_closed_loop(
             ps, jnp.int32(QP), n=8, mode_set="all", decision="satd",
+            allow_fast=cl_fast, unroll=2 if cl_fast is False else 1,
         )
     )
     cl = time_batch(
