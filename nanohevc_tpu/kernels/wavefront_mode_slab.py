@@ -151,10 +151,24 @@ def _kernel(scal_ref, blocks_ref, t_ref, tt_ref, wfwd_ref, winv_ref,
     modes_ref[:, :] = jnp.broadcast_to(best_mode, modes_ref.shape)
 
 
+def _lane_pad(w_d: int) -> int:
+    """Lane width rounded up to a vreg multiple (128 lanes).
+
+    The mode sweep's row-concat patterns (_mode_sweep) only Mosaic-
+    compile when the lane axis is 128-aligned — at e.g. w_d = 1080
+    (1080p, batch 1) tpu.concatenate fails with a layout-offset
+    mismatch.  Pad lanes form fake wavefront slots whose garbage only
+    ever reaches real lanes through the +n state-relay rolls into
+    slot 0, where top_edge/left_edge boundary fills override it; the
+    host-side unslab drops the pad columns.
+    """
+    return -(-w_d // 128) * 128
+
+
 @lru_cache(maxsize=None)
 def _build(n: int, nby: int, nbx: int, ndiag: int, batch: int,
            interpret: bool, use_dst: bool, packed_min: bool):
-    w_d = batch * nby * n
+    w_d = _lane_pad(batch * nby * n)
     slab = max(n, 8)
     t_host = np.asarray(transform_matrix(n, use_dst=use_dst), dtype=np.int32)
     wfwd = _col_weights(t_host, w_d, n)
@@ -251,14 +265,19 @@ def wavefront_mode_search_blocks(
         blocks_sk = blocks_sk[None]
     batch, ndiag = blocks_sk.shape[0], blocks_sk.shape[1]
     w_d = batch * nby * n
+    w_pad = _lane_pad(w_d)
     slab = max(n, 8)
 
     diag = blocks_sk.transpose(1, 3, 0, 2, 4).reshape(ndiag, n, w_d)
+    if w_pad != w_d:
+        diag = jnp.concatenate(
+            [diag, jnp.zeros((ndiag, n, w_pad - w_d), jnp.int32)], axis=2
+        )
     if slab != n:
         diag = jnp.concatenate(
-            [diag, jnp.zeros((ndiag, slab - n, w_d), jnp.int32)], axis=1
+            [diag, jnp.zeros((ndiag, slab - n, w_pad), jnp.int32)], axis=1
         )
-    diag = diag.reshape(ndiag * slab, w_d)
+    diag = diag.reshape(ndiag * slab, w_pad)
 
     run = _build(n, nby, nbx, ndiag, batch, interpret, use_dst,
                  _packed_min_ok(n, bit_depth))
@@ -266,11 +285,13 @@ def wavefront_mode_search_blocks(
     rec, lev, modes = run(scal, diag)
 
     def unslab(a):
-        a = a.reshape(ndiag, slab, batch, nby, n)[:, :n]
+        a = a.reshape(ndiag, slab, w_pad)[:, :n, :w_d]
+        a = a.reshape(ndiag, n, batch, nby, n)
         a = a.transpose(2, 0, 3, 1, 4)                # (B, ndiag, nby, N, N)
         return a[0] if squeeze else a
 
-    modes_s = modes.reshape(ndiag, 8, batch, nby, n)[:, 0, :, :, 0]
+    modes_s = modes.reshape(ndiag, 8, w_pad)[:, :, :w_d]
+    modes_s = modes_s.reshape(ndiag, 8, batch, nby, n)[:, 0, :, :, 0]
     modes_s = modes_s.transpose(1, 0, 2)              # (B, ndiag, nby)
     if squeeze:
         modes_s = modes_s[0]
