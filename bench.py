@@ -310,8 +310,16 @@ def run_bench() -> None:
     add_row("1080p luma 8x8 dc_planar full pipeline", flagship, pct == 100.0)
 
     # ---- Row 2: 1080p 35-mode SATD search (8x8) --------------------------
+    # Rides the shipped auto dispatch (grouped-interleaved kernel at
+    # N=8: 1065 vs 455 Mpix/s for the slab kernel, scan-chained 1080p).
+    from nanohevc_tpu.kernels.mode_search_grouped import (
+        mode_search_encode_plane_auto,
+    )
+
     frames8 = jnp.stack([plane] * 8)
-    ms8_fn = jax.jit(jax.vmap(lambda p: mode_search_encode_plane(p, QP, 8)))
+    ms8_fn = jax.jit(
+        jax.vmap(lambda p: mode_search_encode_plane_auto(p, QP, 8))
+    )
     ms8 = time_batch(ms8_fn, frames8, sync_recon, H * W * 8, 8.0, "mode8")
     got = ms8_fn(frames8)
     want = jax.jit(

@@ -469,11 +469,12 @@ def mode_search_encode_plane_auto(
 ):
     """Route the 35-mode search to the fastest bit-exact kernel.
 
-    N == 4 rides the grouped-interleaved kernel (4.6x the per-block-row
-    slab kernel on TPU, bench.py row 3); other sizes ride the slab
-    kernel.  Same output contract as both.
+    N in (4, 8) rides the grouped-interleaved kernel (on-chip,
+    scan-chained 1080p: N=4 1309 vs 396 Mpix/s for the per-block-row
+    slab kernel, N=8 1065 vs 455); other sizes ride the slab kernel.
+    Same output contract as both.
     """
-    if n == 4 and plane.shape[1] % n == 0:
+    if n in (4, 8) and plane.shape[1] % n == 0:
         return mode_search_encode_plane_grouped(
             plane, qp, n, bit_depth=bit_depth, interpret=interpret,
             use_dst=use_dst, dequant_rescale=dequant_rescale,
@@ -490,7 +491,7 @@ def mode_search_encode_plane_grouped(
     plane: jnp.ndarray, qp: int, n: int,
     *, g: int | None = None, bit_depth: int = 8,
     interpret: bool | None = None, use_dst: bool = False,
-    dequant_rescale: bool = False,
+    dequant_rescale: bool = False, _pad_lanes: bool | None = None,
 ):
     """Grouped-interleaved 35-mode search; bit-exact drop-in for
     mode_search_encode_plane at N in {4, 8}.
@@ -517,23 +518,39 @@ def mode_search_encode_plane_grouped(
     nby = h // n
     src = plane.astype(jnp.int32)
 
+    # Lane axis to a vreg multiple (128): the shared mode-sweep concat
+    # patterns only Mosaic-compile at 128-aligned widths.  Pad columns
+    # replicate the true last column = extract_refs' column clamp;
+    # open-loop refs are source-fed, so pad blocks never feed real
+    # ones.  Outputs are cropped back to w below.  Mosaic-only rule, so
+    # interpret mode skips it (interpreter cost scales with lanes);
+    # _pad_lanes=True forces it for coverage tests.
+    pad_lanes = (not interpret) if _pad_lanes is None else _pad_lanes
+    w_pad = -(-w // 128) * 128 if pad_lanes else w
+    if w_pad != w:
+        src = jnp.concatenate(
+            [src, jnp.broadcast_to(src[:, w - 1 : w], (h, w_pad - w))],
+            axis=1,
+        )
+
     slab_rows = n * g
     rows_needed = nby * n
     # one extra block-row past the coded region (LX reads), whole slabs
     h_pad = -(-(rows_needed + n) // slab_rows) * slab_rows
     x = jnp.concatenate(
-        [src, jnp.broadcast_to(src[h - 1 : h, :], (h_pad - h, w))], axis=0
+        [src, jnp.broadcast_to(src[h - 1 : h, :], (h_pad - h, w_pad))],
+        axis=0,
     )
     nslabs = h_pad // slab_rows
 
     # Row-interleave each slab: natural (g, n) -> (n, g) row order.
-    x_il = x.reshape(nslabs, g, n, w).transpose(0, 2, 1, 3).reshape(-1, w)
+    x_il = x.reshape(nslabs, g, n, w_pad).transpose(0, 2, 1, 3).reshape(-1, w_pad)
     # above_arr[k] = last source row of block-row k-1 (k == 0 is masked
     # to the boundary fill in-kernel).
     last_rows = x[n - 1 :: n, :]
     above_arr = jnp.concatenate([last_rows[:1], last_rows[:-1]], axis=0)
 
-    run = _build(n, g, h_pad, w, interpret, use_dst,
+    run = _build(n, g, h_pad, w_pad, interpret, use_dst,
                  _packed_min_ok(n, bit_depth))
     recon_il, levels_il, modes_g = run(
         _qp_scalars(qp, n, bit_depth, dequant_rescale), x_il, above_arr
@@ -541,13 +558,16 @@ def mode_search_encode_plane_grouped(
 
     def deil(a):
         return (
-            a.reshape(nslabs, n, g, w).transpose(0, 2, 1, 3).reshape(h_pad, w)
+            a.reshape(nslabs, n, g, w_pad)
+            .transpose(0, 2, 1, 3)
+            .reshape(h_pad, w_pad)
         )
 
-    recon, levels = deil(recon_il)[:rows_needed], deil(levels_il)[:rows_needed]
+    recon = deil(recon_il)[:rows_needed, :w]
+    levels = deil(levels_il)[:rows_needed, :w]
     # modes_g rows are per block-row; expand to the slab layout the
     # callers expect (every row of a block carries its mode).
-    modes = jnp.repeat(modes_g[: rows_needed // n], n, axis=0)
+    modes = jnp.repeat(modes_g[: rows_needed // n, :w], n, axis=0)
     if rows_needed != h:
-        recon = jnp.concatenate([recon, src[rows_needed:, :]], axis=0)
+        recon = jnp.concatenate([recon, src[rows_needed:, :w]], axis=0)
     return {"recon": recon, "levels_slab": levels, "modes_slab": modes}

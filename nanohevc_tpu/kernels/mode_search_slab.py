@@ -507,7 +507,8 @@ def mode_search_encode_plane(plane: jnp.ndarray, qp: int, n: int,
                              *, bit_depth: int = 8,
                              interpret: bool | None = None,
                              use_dst: bool = False,
-                             dequant_rescale: bool = False):
+                             dequant_rescale: bool = False,
+                             _pad_lanes: bool | None = None):
     """Fused 35-mode SATD search + full pipeline for one plane.
 
     (H, W) -> dict(recon (H, W), levels_slab, modes_slab); decision
@@ -524,6 +525,24 @@ def mode_search_encode_plane(plane: jnp.ndarray, qp: int, n: int,
     nby = h // n
     src = plane.astype(jnp.int32)
 
+    # Pad the lane axis to a vreg multiple (128): _mode_sweep's row-
+    # concat patterns only Mosaic-compile when the lane width is
+    # 128-aligned (e.g. W = 1080 fails).  Pad columns replicate the
+    # plane's true last column, so real blocks' top-right reads into
+    # the pad see EXACTLY extract_refs' column clamp (clip to w-1);
+    # refs are source-fed (open-loop), so pad-block outputs never feed
+    # real blocks.  128 % N == 0, so pads are whole fake blocks,
+    # cropped from every output below.  The constraint is Mosaic-only,
+    # so interpret mode skips the pad (it multiplies interpreter cost);
+    # _pad_lanes=True forces it for coverage tests.
+    pad_lanes = (not interpret) if _pad_lanes is None else _pad_lanes
+    w_pad = -(-w // 128) * 128 if pad_lanes else w
+    if w_pad != w:
+        src = jnp.concatenate(
+            [src, jnp.broadcast_to(src[:, w - 1 : w], (h, w_pad - w))],
+            axis=1,
+        )
+
     # Pad below with the plane's true last row, replicated, out to at
     # least one block-row past the coded region and a whole number of
     # slabs: the left reference's rows N..2N-1 then read EXACTLY what
@@ -533,16 +552,18 @@ def mode_search_encode_plane(plane: jnp.ndarray, qp: int, n: int,
     rows_needed = nby * n
     h_pad = -(-(rows_needed + n) // slab_rows) * slab_rows
     x = jnp.concatenate(
-        [src, jnp.broadcast_to(src[h - 1 : h, :], (h_pad - h, w))], axis=0
+        [src, jnp.broadcast_to(src[h - 1 : h, :], (h_pad - h, w_pad))],
+        axis=0,
     )
-    run = _build(n, h_pad, w, interpret, use_dst,
+    run = _build(n, h_pad, w_pad, interpret, use_dst,
                  _packed_min_ok(n, bit_depth))
     recon, levels, modes = run(
         _qp_scalars(qp, n, bit_depth, dequant_rescale), x
     )
     recon, levels, modes = (
-        recon[:rows_needed], levels[:rows_needed], modes[:rows_needed]
+        recon[:rows_needed, :w], levels[:rows_needed, :w],
+        modes[:rows_needed, :w],
     )
     if rows_needed != h:
-        recon = jnp.concatenate([recon, src[rows_needed:, :]], axis=0)
+        recon = jnp.concatenate([recon, src[rows_needed:, :w]], axis=0)
     return {"recon": recon, "levels_slab": levels, "modes_slab": modes}

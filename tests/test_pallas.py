@@ -371,6 +371,34 @@ class TestModeSearchKernel:
             assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
 
     @pytest.mark.parametrize("n", [4, 8])
+    def test_lane_pad_matches_unpadded(self, n):
+        """Forcing the 128-lane pad (the on-TPU Mosaic layout rule) must
+        not change any output: pad columns replicate the last column,
+        which is exactly extract_refs' right clamp, and open-loop refs
+        are source-fed so pad blocks never feed real ones."""
+        from nanohevc_tpu.kernels.mode_search_grouped import (
+            mode_search_encode_plane_grouped,
+        )
+        from nanohevc_tpu.kernels.mode_search_slab import (
+            mode_search_encode_plane,
+        )
+
+        rng = np.random.default_rng(128 + n)
+        plane = jnp.asarray(rng.integers(0, 256, (2 * n, 40)).astype(np.int32))
+        a = mode_search_encode_plane(plane, 28, n, interpret=True)
+        b = mode_search_encode_plane(
+            plane, 28, n, interpret=True, _pad_lanes=True
+        )
+        for k in ("recon", "levels_slab", "modes_slab"):
+            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
+        if n == 4:
+            c = mode_search_encode_plane_grouped(
+                plane, 28, n, g=2, interpret=True, _pad_lanes=True
+            )
+            for k in ("recon", "levels_slab", "modes_slab"):
+                assert np.array_equal(np.asarray(a[k]), np.asarray(c[k])), k
+
+    @pytest.mark.parametrize("n", [4, 8])
     def test_auto_dispatch_matches_slab(self, n):
         """mode_search_encode_plane_auto output == the slab kernel for
         every N it routes (N=4 rides the grouped kernel)."""
