@@ -98,6 +98,14 @@ def cmd_encode(args: argparse.Namespace) -> None:
         )
         sys.exit(1)
 
+    if args.deblock and args.pipeline != "closed-loop":
+        print(
+            "Error: --deblock is an in-loop filter on the decodable "
+            "reconstruction; use --pipeline closed-loop",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     def _rate_search(config):
         """Pick the QP that fits the byte budget on the chosen pipeline."""
         from dataclasses import replace
@@ -125,6 +133,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             entropy_coder=args.entropy,
             dequant_rescale=args.dequant_rescale,
             intra_smoothing=args.intra_smoothing,
+            deblock=args.deblock,
         )
         if args.target_bytes:
             config = _rate_search(config)
@@ -387,6 +396,13 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="[1 2 1] reference-sample smoothing per spec 8.4.4.2.3 "
         "(luma, N>=8; the reference has none); carried in the PPS",
+    )
+    enc.add_argument(
+        "--deblock",
+        action="store_true",
+        help="in-loop deblocking filter per spec 8.7.2 on the output "
+        "reconstruction (closed-loop pipeline only); carried in the "
+        "PPS so decode applies it identically",
     )
     enc.add_argument(
         "--dequant-rescale",

@@ -50,6 +50,11 @@ class EncoderConfig:
     # adaptive binary range coder, tiled/threaded) or "cabac" (spec
     # 9.3 arithmetic engine with 7.3.8.11 residual_coding syntax).
     entropy_coder: str = "range"
+    # In-loop deblocking filter (spec 8.7.2, all-intra bS=2) applied
+    # to the output reconstruction; intra prediction stays unfiltered
+    # (spec semantics), so closed-loop decode remains pixel-exact.
+    # Honored by the closed-loop pipeline; signalled in the PPS.
+    deblock: bool = False
 
     def __post_init__(self):
         if self.block_size not in (4, 8, 16, 32):

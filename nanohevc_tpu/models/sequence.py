@@ -115,6 +115,12 @@ def encode_sequence(
     from nanohevc_tpu.runtime import entropy
     from nanohevc_tpu.runtime.bitstream import assemble_bitstream
 
+    if config.deblock and not closed_loop:
+        # the PPS flag would make the decoder filter a reconstruction
+        # the open-loop encoder never produced — refuse, don't drift
+        raise ValueError("config.deblock requires closed_loop=True "
+                         "(in-loop filter on the decodable recon)")
+
     if closed_loop:
         import jax
 
@@ -138,6 +144,8 @@ def encode_sequence(
                     scan=config.scan,
                     dequant_rescale=config.dequant_rescale,
                     intra_smoothing=config.intra_smoothing and is_luma,
+                    deblock=config.deblock,
+                    deblock_chroma=not is_luma,
                 )
                 out["psnr"] = jax.vmap(_psnr)(planes, out["recon"])
                 return out
@@ -188,6 +196,7 @@ def encode_sequence(
             rescale_flag=int(config.dequant_rescale),
             smoothing_flag=int(config.intra_smoothing),
             entropy_idx=_ENTROPY_IDX[config.entropy_coder],
+            deblock_flag=int(config.deblock),
         )
 
     sw = Stopwatch()
@@ -374,6 +383,7 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
     scan = _SCAN_NAME[params.get("scan_idx", 0)]
     rescale = params.get("dequant_rescale", False)
     smoothing = params.get("intra_smoothing", False)
+    deblock = params.get("deblock", False)
 
     frames = decode_sequence_levels(bitstream_path)
     n_written = 0
@@ -405,6 +415,7 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                             bit_depth=bit_depth, scan=scan,
                             dequant_rescale=rescale,
                             intra_smoothing=smoothing and name == "Y",
+                            deblock=deblock, is_chroma=name != "Y",
                         )) for s in sls
                     ]
                     continue
@@ -417,6 +428,7 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                     bit_depth=bit_depth, scan=scan,
                     dequant_rescale=rescale,
                     intra_smoothing=smoothing and name == "Y",
+                    deblock=deblock, is_chroma=name != "Y",
                 )
                 planes_out[name] = list(np.asarray(recon).astype(dt))
             for i in range(len(chunk)):

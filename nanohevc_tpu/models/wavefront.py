@@ -208,6 +208,8 @@ def encode_planes_closed_loop(
     scan: str = "diag",
     dequant_rescale: bool = False,
     intra_smoothing: bool = False,
+    deblock: bool = False,
+    deblock_chroma: bool = False,
     allow_fast: bool | None = None,
     unroll: int = 1,
 ):
@@ -325,6 +327,16 @@ def encode_planes_closed_loop(
     # frame), then untile/pack over the whole batch at once.
     rec_raster = _deskew_blocks(rec_all, nby, nbx)        # (B, nb, N, N)
     recon = jax.vmap(lambda rc: ops.untile_plane(rc, hp, wp))(rec_raster)
+    if deblock:
+        # In-loop deblocking (spec 8.7.2) on the padded recon before
+        # the conformance crop — an output filter only: intra
+        # prediction reads the unfiltered wavefront buffers, exactly
+        # the spec's intra semantics, so levels/modes are unchanged
+        # and the decoder applies the identical filter for pixel-exact
+        # round trips.
+        recon = ops.deblock_plane(
+            recon, qp, bit_depth=bit_depth, is_chroma=deblock_chroma
+        )
     lev_raster = _deskew_blocks(levels_all, nby, nbx)
     modes = _deskew_blocks(modes_all, nby, nbx)           # (B, nb)
     levels = ops.scan_pack(
@@ -379,6 +391,8 @@ def encode_frame_closed_loop(frame, config) -> tuple:
             scan=config.scan,
             dequant_rescale=config.dequant_rescale,
             intra_smoothing=config.intra_smoothing and is_luma,
+            deblock=config.deblock,
+            deblock_chroma=not is_luma,
         )
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)
         plane_levels[name] = (np.asarray(out["levels"]), bs)
@@ -389,6 +403,7 @@ def encode_frame_closed_loop(frame, config) -> tuple:
         dequant_rescale=config.dequant_rescale,
         intra_smoothing=config.intra_smoothing,
         entropy_coder=config.entropy_coder,
+        deblock=config.deblock,
     )
     return recon, bitstream
 
@@ -422,6 +437,7 @@ def decode_frame(bitstream: bytes):
     scan = _SCAN_NAME[params.get("scan_idx", 0)]
     rescale = params.get("dequant_rescale", False)
     smoothing = params.get("intra_smoothing", False)
+    deblock = params.get("deblock", False)
     missing = {"Y", "U", "V"} - parsed.keys()
     if missing:
         from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
@@ -451,6 +467,8 @@ def decode_frame(bitstream: bytes):
             scan=scan,
             dequant_rescale=rescale,
             intra_smoothing=smoothing and name == "Y",  # spec: luma only
+            deblock=deblock,
+            is_chroma=name != "Y",
         )
         dst.data[...] = np.asarray(plane).astype(np.int16)
     return recon
@@ -459,7 +477,8 @@ def decode_frame(bitstream: bytes):
 @lru_cache(maxsize=None)
 def _decode_planes_jit(n: int, height: int, width: int, use_dst: bool,
                        bit_depth: int, scan: str, dequant_rescale: bool,
-                       intra_smoothing: bool):
+                       intra_smoothing: bool, deblock: bool = False,
+                       is_chroma: bool = False):
     """Compiled batched decoder: (B, nb, N*N), (B, nb), (B,) -> (B, H, W).
 
     Frames are independent, so the batch axis vmaps straight over the
@@ -475,6 +494,7 @@ def _decode_planes_jit(n: int, height: int, width: int, use_dst: bool,
             use_dst=use_dst, bit_depth=bit_depth, scan=scan,
             dequant_rescale=dequant_rescale,
             intra_smoothing=intra_smoothing,
+            deblock=deblock, is_chroma=is_chroma,
         )
 
     return jax.jit(jax.vmap(one))
@@ -493,11 +513,14 @@ def decode_planes(
     scan: str = "diag",
     dequant_rescale: bool = False,
     intra_smoothing: bool = False,
+    deblock: bool = False,
+    is_chroma: bool = False,
 ) -> jnp.ndarray:
     """Batched decode_plane: (B, nb, N*N) levels + (B, nb) modes +
     (B,) per-frame QPs -> (B, H, W) reconstructions, one dispatch."""
     fn = _decode_planes_jit(n, height, width, use_dst, bit_depth, scan,
-                            dequant_rescale, intra_smoothing)
+                            dequant_rescale, intra_smoothing,
+                            deblock, is_chroma)
     return fn(levels, modes, qps)
 
 
@@ -514,6 +537,8 @@ def decode_plane(
     scan: str = "diag",
     dequant_rescale: bool = False,
     intra_smoothing: bool = False,
+    deblock: bool = False,
+    is_chroma: bool = False,
 ) -> jnp.ndarray:
     """Pixel-exact decoder for closed-loop streams.
 
@@ -562,4 +587,12 @@ def decode_plane(
         step, _skew_buffers(nby, nbx, n), (d_j, bx_j, ok_j, res_sk, modes_sk)
     )
     rec_raster = _deskew_blocks(rec_all[None], nby, nbx)[0]
-    return ops.untile_plane(rec_raster, hp, wp)[:height, :width]
+    plane = ops.untile_plane(rec_raster, hp, wp)
+    if deblock:
+        # mirror of the encoder's padded-recon filtering (8.7.2): the
+        # wavefront above predicted from unfiltered samples, so this
+        # reproduces the encoder's output plane exactly
+        plane = ops.deblock_plane(
+            plane, qp, bit_depth=bit_depth, is_chroma=is_chroma
+        )
+    return plane[:height, :width]

@@ -35,6 +35,7 @@ from nanohevc_tpu.ops.metrics import (
     count_nonzero_blocks,
 )
 from nanohevc_tpu.ops.scan import scan_pack, scan_unpack
+from nanohevc_tpu.ops.deblock import deblock_plane
 from nanohevc_tpu.ops.rate import (
     RateTable,
     calibrate_rate_table,
@@ -67,6 +68,7 @@ __all__ = [
     "estimate_bits_blocks",
     "count_nonzero_blocks",
     "scan_pack",
+    "deblock_plane",
     "RateTable",
     "calibrate_rate_table",
     "rate_model_bits",

@@ -106,6 +106,7 @@ def assemble_bitstream(
     intra_smoothing: bool = False,
     entropy_tiles: int = 1,
     entropy_coder: str = "range",
+    deblock: bool = False,
 ) -> bytes:
     """Build a full frame bitstream.
 
@@ -142,6 +143,7 @@ def assemble_bitstream(
         rescale_flag=int(dequant_rescale),
         smoothing_flag=int(intra_smoothing),
         entropy_idx=_ENTROPY_IDX[entropy_coder],
+        deblock_flag=int(deblock),
     )
     out = [
         entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, first[1], qp, 0, **pk)),
@@ -276,6 +278,8 @@ def parse_params(payload: bytes) -> dict:
         # Streams from before the CABAC option lack this field; their
         # rbsp stop bit reads as ue()==0 == "range", the old default.
         "entropy_idx": r.ue(),
+        # Appended later still; absent reads as ue()==0 == off.
+        "deblock": bool(r.ue()),
     }
     if pps["entropy_idx"] not in _ENTROPY_NAME:
         raise ValueError(f"bad PPS entropy_idx: {pps['entropy_idx']}")

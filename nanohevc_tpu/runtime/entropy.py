@@ -80,6 +80,7 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
+        ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
@@ -197,21 +198,23 @@ def write_params(
     rescale_flag: int = 0,
     smoothing_flag: int = 0,
     entropy_idx: int = 0,
+    deblock_flag: int = 0,
 ) -> bytes:
     """Parameter-set RBSP payload (0=VPS, 1=SPS, 2=PPS).
 
     SPS carries bit_depth_luma_minus8; PPS carries the scan index
     (0=diag, 1=horizontal, 2=vertical, 3=mode-dependent), the
-    spec-gain dequant rescale flag, and the entropy engine index
-    (0=framework range coder, 1=spec 9.3 CABAC) — everything a
-    decoder needs beyond the per-slice headers, so closed-loop
-    streams stay self-contained for non-default configs.
+    spec-gain dequant rescale flag, the entropy engine index
+    (0=framework range coder, 1=spec 9.3 CABAC), and the in-loop
+    deblocking flag — everything a decoder needs beyond the per-slice
+    headers, so closed-loop streams stay self-contained for
+    non-default configs.
     """
     out = np.empty(256, dtype=np.uint8)
     n = _lib().nhr_write_params(
         width, height, block_size, qp, which,
         bit_depth, scan_idx, rescale_flag, smoothing_flag, entropy_idx,
-        _u8ptr(out), 256,
+        deblock_flag, _u8ptr(out), 256,
     )
     if n == 0:
         raise RuntimeError("params overflow")

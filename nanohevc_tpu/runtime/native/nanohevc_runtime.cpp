@@ -725,7 +725,7 @@ int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
                          int32_t qp, uint8_t which, int32_t bit_depth,
                          int32_t scan_idx, int32_t rescale_flag,
                          int32_t smoothing_flag, int32_t entropy_idx,
-                         uint8_t* out, int64_t cap) {
+                         int32_t deblock_flag, uint8_t* out, int64_t cap) {
   BitWriter bw;
   bw.put_bits(0x4e48u, 16);  // "NH" magic
   bw.put_bits(which, 8);
@@ -745,6 +745,7 @@ int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
     bw.put_ue(static_cast<uint32_t>(rescale_flag));  // spec-gain dequant
     bw.put_ue(static_cast<uint32_t>(smoothing_flag));  // [1 2 1] ref filter
     bw.put_ue(static_cast<uint32_t>(entropy_idx));  // 0=range 1=spec CABAC
+    bw.put_ue(static_cast<uint32_t>(deblock_flag));  // spec 8.7.2 in-loop
   }
   bw.rbsp_trailing();
   if (static_cast<int64_t>(bw.bytes().size()) > cap) return 0;
@@ -765,6 +766,6 @@ void nhr_block_bits(const int32_t* levels, int64_t nb, int32_t ncoef,
   }
 }
 
-int32_t nhr_version() { return 18; }
+int32_t nhr_version() { return 19; }
 
 }  // extern "C"
