@@ -1,0 +1,135 @@
+"""SAO: oracle golden values, ops parity, estimation behavior."""
+
+import numpy as np
+import pytest
+
+from nanohevc_tpu.ref import sao as refsao
+from nanohevc_tpu.ops import sao as opssao
+
+
+def _content(rng, h, w, pix_max):
+    base = rng.integers(0, pix_max + 1, (h // 4 + 1, w // 4 + 1))
+    plane = np.repeat(np.repeat(base, 4, 0), 4, 1)[:h, :w]
+    return np.clip(plane + rng.integers(-5, 6, (h, w)), 0, pix_max).astype(
+        np.int32
+    )
+
+
+class TestOracleGolden:
+    def test_eo_local_min(self):
+        # [10, 5, 10]: center is a local minimum -> category 1 for
+        # class 0 (horizontal); borders have no neighbor -> cat 0
+        plane = np.array([[10, 5, 10]], np.int32)
+        cat = refsao.eo_categories(plane, 0)
+        assert cat.tolist() == [[0, 1, 0]]
+        out = refsao.apply_sao(plane, refsao.SAO_EO0, 0, [3, 1, -1, -4])
+        assert out.tolist() == [[10, 8, 10]]
+
+    def test_eo_categories_all(self):
+        # monotone rising: middle sample has one lower, one higher
+        # neighbor -> edgeIdx 2 -> category 0
+        assert refsao.eo_categories(np.array([[1, 5, 9]]), 0)[0, 1] == 0
+        # local max -> cat 4; concave (equal+lower) -> cat 2 at [5,5,9]?
+        assert refsao.eo_categories(np.array([[1, 9, 5]]), 0)[0, 1] == 4
+        # c == one neighbor, c < other -> edgeIdx 1 -> cat 2
+        assert refsao.eo_categories(np.array([[5, 5, 9]]), 0)[0, 1] == 2
+        # c == one neighbor, c > other -> edgeIdx 3 -> cat 3
+        assert refsao.eo_categories(np.array([[5, 5, 1]]), 0)[0, 1] == 3
+
+    def test_band_offset(self):
+        # p=100 -> band 100>>3 = 12; band_pos 12 offsets [5,0,0,0]
+        plane = np.full((4, 4), 100, np.int32)
+        out = refsao.apply_sao(plane, refsao.SAO_BO, 12, [5, 0, 0, 0])
+        assert (out == 105).all()
+        # band 12 outside the window (30+k)&31 = {30,31,0,1} -> no-op
+        out = refsao.apply_sao(plane, refsao.SAO_BO, 30, [1, 2, 3, 4])
+        assert (out == 100).all()
+
+    def test_bo_wrap_golden(self):
+        plane = np.full((2, 2), 4, np.int32)      # band 4>>3 = 0
+        out = refsao.apply_sao(plane, refsao.SAO_BO, 30, [0, 0, 7, 0])
+        assert (out == 11).all()                  # (30+2)&31 == 0
+
+    def test_off_identity(self):
+        rng = np.random.default_rng(0)
+        p = _content(rng, 8, 8, 255)
+        assert (refsao.apply_sao(p, refsao.SAO_OFF, 0, [1, 2, 3, 4]) == p).all()
+
+    def test_estimate_zero_diff_is_off(self):
+        rng = np.random.default_rng(1)
+        p = _content(rng, 16, 16, 255)
+        t, pos, offs = refsao.estimate_sao(p, p)
+        assert t == refsao.SAO_OFF and (offs == 0).all()
+
+    def test_estimate_never_hurts_sse(self):
+        rng = np.random.default_rng(2)
+        src = _content(rng, 24, 24, 255)
+        rec = np.clip(src + rng.integers(-12, 13, src.shape), 0, 255)
+        t, pos, offs = refsao.estimate_sao(src, rec)
+        out = refsao.apply_sao(rec, t, pos, offs)
+        sse0 = ((src - rec) ** 2).sum()
+        sse1 = ((src - out.astype(np.int64)) ** 2).sum()
+        assert sse1 <= sse0
+
+    def test_estimate_improves_uniform_shift(self):
+        # rec = src - 3 everywhere: the positive-category EO offsets
+        # correct their samples (cat 3/4 are sign-clamped to 0 and
+        # flat runs are category 0, so the fix is partial by design)
+        rng = np.random.default_rng(3)
+        src = _content(rng, 16, 16, 200) + 20
+        rec = src - 3
+        t, pos, offs = refsao.estimate_sao(src, rec)
+        assert t != refsao.SAO_OFF and (offs >= 0).all()
+        out = refsao.apply_sao(rec, t, pos, offs)
+        assert ((src - out) ** 2).sum() < ((src - rec) ** 2).sum()
+
+
+class TestOpsParity:
+    @pytest.mark.parametrize("type_idx", [0, 1, 2, 3, 4, 5])
+    def test_apply_fuzz(self, type_idx):
+        rng = np.random.default_rng(10 + type_idx)
+        for h, w in [(8, 8), (12, 20), (17, 9)]:
+            p = _content(rng, h, w, 255)
+            offs = rng.integers(-7, 8, 4)
+            pos = int(rng.integers(0, 32))
+            want = refsao.apply_sao(p, type_idx, pos, offs)
+            got = np.asarray(opssao.apply_sao(p, type_idx, pos, offs))
+            assert (got == want).all(), (type_idx, h, w)
+
+    def test_apply_10bit(self):
+        rng = np.random.default_rng(20)
+        p = _content(rng, 16, 16, 1023)
+        offs = rng.integers(-31, 32, 4)
+        want = refsao.apply_sao(p, refsao.SAO_BO, 7, offs, bit_depth=10)
+        got = np.asarray(opssao.apply_sao(p, refsao.SAO_BO, 7, offs,
+                                          bit_depth=10))
+        assert (got == want).all()
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_estimate_matches_oracle(self, seed):
+        rng = np.random.default_rng(30 + seed)
+        src = _content(rng, 24, 32, 255)
+        noise = rng.integers(-9, 10, src.shape)
+        rec = np.clip(src + noise, 0, 255)
+        t0, p0, o0 = refsao.estimate_sao(src, rec)
+        t1, p1, o1 = opssao.estimate_sao(src, rec)
+        assert (int(t1), int(p1)) == (t0, p0)
+        assert (np.asarray(o1) == o0).all()
+        # and the applied planes agree
+        want = refsao.apply_sao(rec, t0, p0, o0)
+        got = np.asarray(opssao.apply_sao(rec, t1, p1, o1))
+        assert (got == want).all()
+
+    def test_estimate_jit_and_batch(self):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(40)
+        srcs = np.stack([_content(rng, 16, 16, 255) for _ in range(3)])
+        recs = np.clip(srcs + rng.integers(-8, 9, srcs.shape), 0, 255)
+        est = jax.jit(jax.vmap(lambda s, r: opssao.estimate_sao(s, r)))
+        ts, ps, os_ = est(jnp.asarray(srcs), jnp.asarray(recs))
+        for i in range(3):
+            t0, p0, o0 = refsao.estimate_sao(srcs[i], recs[i])
+            assert (int(ts[i]), int(ps[i])) == (t0, p0)
+            assert (np.asarray(os_[i]) == o0).all()
