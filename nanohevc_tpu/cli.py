@@ -98,9 +98,10 @@ def cmd_encode(args: argparse.Namespace) -> None:
         )
         sys.exit(1)
 
-    if args.deblock and args.pipeline != "closed-loop":
+    if (args.deblock or args.sao) and args.pipeline != "closed-loop":
+        which = "--deblock" if args.deblock else "--sao"
         print(
-            "Error: --deblock is an in-loop filter on the decodable "
+            f"Error: {which} is an in-loop filter on the decodable "
             "reconstruction; use --pipeline closed-loop",
             file=sys.stderr,
         )
@@ -134,6 +135,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             dequant_rescale=args.dequant_rescale,
             intra_smoothing=args.intra_smoothing,
             deblock=args.deblock,
+            sao=args.sao,
         )
         if args.target_bytes:
             config = _rate_search(config)
@@ -403,6 +405,13 @@ def main(argv: list[str] | None = None) -> None:
         help="in-loop deblocking filter per spec 8.7.2 on the output "
         "reconstruction (closed-loop pipeline only); carried in the "
         "PPS so decode applies it identically",
+    )
+    enc.add_argument(
+        "--sao",
+        action="store_true",
+        help="sample adaptive offset per spec 8.7.3 after deblocking: "
+        "per-plane EO/BO parameters estimated per frame and carried "
+        "in a SAO NAL (closed-loop pipeline only)",
     )
     enc.add_argument(
         "--dequant-rescale",

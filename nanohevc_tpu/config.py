@@ -55,6 +55,11 @@ class EncoderConfig:
     # (spec semantics), so closed-loop decode remains pixel-exact.
     # Honored by the closed-loop pipeline; signalled in the PPS.
     deblock: bool = False
+    # Sample Adaptive Offset (spec 8.7.3), after deblocking: one
+    # encoder-estimated parameter set per plane per frame (EO/BO),
+    # carried in a per-frame SAO NAL.  Output filter like deblock;
+    # closed-loop pipeline only.
+    sao: bool = False
 
     def __post_init__(self):
         if self.block_size not in (4, 8, 16, 32):

@@ -115,11 +115,12 @@ def encode_sequence(
     from nanohevc_tpu.runtime import entropy
     from nanohevc_tpu.runtime.bitstream import assemble_bitstream
 
-    if config.deblock and not closed_loop:
-        # the PPS flag would make the decoder filter a reconstruction
-        # the open-loop encoder never produced — refuse, don't drift
-        raise ValueError("config.deblock requires closed_loop=True "
-                         "(in-loop filter on the decodable recon)")
+    if (config.deblock or config.sao) and not closed_loop:
+        # the signalled filters would make the decoder transform a
+        # reconstruction the open-loop encoder never produced — refuse
+        raise ValueError("config.deblock/config.sao require "
+                         "closed_loop=True (in-loop filters on the "
+                         "decodable recon)")
 
     if closed_loop:
         import jax
@@ -146,6 +147,7 @@ def encode_sequence(
                     intra_smoothing=config.intra_smoothing and is_luma,
                     deblock=config.deblock,
                     deblock_chroma=not is_luma,
+                    sao=config.sao,
                 )
                 out["psnr"] = jax.vmap(_psnr)(planes, out["recon"])
                 return out
@@ -246,11 +248,22 @@ def encode_sequence(
                 c_levels = np.asarray(c_out["levels"])
                 c_modes = np.asarray(c_out["modes"])
                 psnrs.extend(float(v) for v in np.asarray(y_out["psnr"])[:take])
+                y_sao = c_sao = None
+                if config.sao:
+                    y_sao = tuple(np.asarray(a) for a in y_out["sao"])
+                    c_sao = tuple(np.asarray(a) for a in c_out["sao"])
             batch_bytes = 0
             with sw.time("entropy"):
                 cb = config.chroma_block_size()
                 for i in range(take):
                     aud = entropy.wrap_nal(NAL_AUD, struct.pack("<I", first + i))
+                    sao_i = None
+                    if config.sao:
+                        sao_i = {
+                            "Y": tuple(a[i] for a in y_sao),
+                            "U": tuple(a[i] for a in c_sao),
+                            "V": tuple(a[batch + i] for a in c_sao),
+                        }
                     frame_bs = assemble_bitstream(
                         width,
                         height,
@@ -268,6 +281,7 @@ def encode_sequence(
                         scan=config.scan,
                         entropy_tiles=entropy_tiles,
                         entropy_coder=config.entropy_coder,
+                        sao=sao_i,
                     )
                     # assemble_bitstream repeats parameter sets per call;
                     # strip them here (sequence carries one global set)
@@ -403,6 +417,23 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                 ("V", (height // 2, width // 2)),
             ):
                 sls = [fr[name] for fr in chunk]
+                # per-frame SAO params from each access unit's SAO NAL;
+                # frames without one get type 0 (identity) so the batch
+                # still decodes in one dispatch
+                saos = [
+                    fr.get("params", {}).get("sao", {}).get(name)
+                    for fr in chunk
+                ]
+                sao_b = None
+                if any(s is not None for s in saos):
+                    off = (0, 0, np.zeros(4, np.int32))
+                    filled = [s if s is not None else off for s in saos]
+                    sao_b = (
+                        np.array([s[0] for s in filled], np.int32),
+                        np.array([s[1] for s in filled], np.int32),
+                        np.stack([np.asarray(s[2], np.int32)
+                                  for s in filled]),
+                    )
                 bs = sls[0]["block_size"]
                 if any(s["block_size"] != bs for s in sls):
                     # mixed per-slice block sizes: decode singly
@@ -416,7 +447,10 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                             dequant_rescale=rescale,
                             intra_smoothing=smoothing and name == "Y",
                             deblock=deblock, is_chroma=name != "Y",
-                        )) for s in sls
+                            sao=None if sao_b is None else tuple(
+                                jnp.asarray(a[j]) for a in sao_b
+                            ),
+                        )) for j, s in enumerate(sls)
                     ]
                     continue
                 recon = decode_planes(
@@ -429,6 +463,7 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                     dequant_rescale=rescale,
                     intra_smoothing=smoothing and name == "Y",
                     deblock=deblock, is_chroma=name != "Y",
+                    sao=sao_b,
                 )
                 planes_out[name] = list(np.asarray(recon).astype(dt))
             for i in range(len(chunk)):
@@ -461,7 +496,8 @@ def decode_sequence_levels(bitstream_path: str) -> List[Dict[str, dict]]:
             current = []
         elif nal_type in (E.NAL_VPS, E.NAL_SPS, E.NAL_PPS):
             param_nals.append(E.wrap_nal(nal_type, payload))
-        elif nal_type == E.NAL_SLICE:
+        elif nal_type in (E.NAL_SLICE, E.NAL_SAO):
+            # SAO parameters are per-frame: they ride each access unit
             current.append(E.wrap_nal(nal_type, payload))
     if current:
         frames.append(parse_bitstream(b"".join(param_nals + current)))

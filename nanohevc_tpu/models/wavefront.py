@@ -210,6 +210,7 @@ def encode_planes_closed_loop(
     intra_smoothing: bool = False,
     deblock: bool = False,
     deblock_chroma: bool = False,
+    sao: bool = False,
     allow_fast: bool | None = None,
     unroll: int = 1,
 ):
@@ -343,9 +344,25 @@ def encode_planes_closed_loop(
         lev_raster.reshape(b * nby * nbx, n, n), scan,
         modes=modes.reshape(b * nby * nbx),
     ).reshape(b, nby * nbx, n * n)
+    out = {"levels": levels, "modes": modes}
+    if sao:
+        # SAO (spec 8.7.3) after deblocking, estimated per frame
+        # against the padded source, applied to the padded recon, and
+        # signalled in a per-frame SAO NAL ((B,) type, (B,) band_pos,
+        # (B, 4) offsets) so the decoder re-applies it identically.
+        from nanohevc_tpu.ops.sao import apply_sao, estimate_sao
+
+        t, pos, offs = jax.vmap(
+            lambda s, r: estimate_sao(s, r, bit_depth)
+        )(src, recon)
+        recon = jax.vmap(
+            lambda r, a, p_, o: apply_sao(r, a, p_, o, bit_depth)
+        )(recon, t, pos, offs)
+        out["sao"] = (t, pos, offs)
     # crop the conformance-window pad; levels/modes keep the padded
     # block geometry (the decoder re-derives it from the SPS dims)
-    return {"recon": recon[:, :h, :w], "levels": levels, "modes": modes}
+    out["recon"] = recon[:, :h, :w]
+    return out
 
 
 def encode_plane_closed_loop(plane: jnp.ndarray, qp, **kwargs):
@@ -356,7 +373,10 @@ def encode_plane_closed_loop(plane: jnp.ndarray, qp, **kwargs):
     pixel-exact decode_plane reconstruction.
     """
     out = encode_planes_closed_loop(plane[None], qp, **kwargs)
-    return {k: v[0] for k, v in out.items()}
+    return {
+        k: tuple(x[0] for x in v) if isinstance(v, tuple) else v[0]
+        for k, v in out.items()
+    }
 
 
 def encode_frame_closed_loop(frame, config) -> tuple:
@@ -373,6 +393,7 @@ def encode_frame_closed_loop(frame, config) -> tuple:
     recon = Frame.zeros(frame.height, frame.width, dtype=np.int16)
     plane_levels = {}
     plane_modes = {}
+    sao_params = {}
     for name, src, dst in (
         ("Y", frame.y, recon.y),
         ("U", frame.u, recon.u),
@@ -393,10 +414,14 @@ def encode_frame_closed_loop(frame, config) -> tuple:
             intra_smoothing=config.intra_smoothing and is_luma,
             deblock=config.deblock,
             deblock_chroma=not is_luma,
+            sao=config.sao,
         )
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)
         plane_levels[name] = (np.asarray(out["levels"]), bs)
         plane_modes[name] = np.asarray(out["modes"])
+        if config.sao:
+            t, pos, offs = out["sao"]
+            sao_params[name] = (int(t), int(pos), np.asarray(offs))
     bitstream = assemble_bitstream(
         frame.width, frame.height, config.qp, plane_levels, plane_modes,
         bit_depth=config.bit_depth, scan=config.scan,
@@ -404,6 +429,7 @@ def encode_frame_closed_loop(frame, config) -> tuple:
         intra_smoothing=config.intra_smoothing,
         entropy_coder=config.entropy_coder,
         deblock=config.deblock,
+        sao=sao_params if config.sao else None,
     )
     return recon, bitstream
 
@@ -438,6 +464,7 @@ def decode_frame(bitstream: bytes):
     rescale = params.get("dequant_rescale", False)
     smoothing = params.get("intra_smoothing", False)
     deblock = params.get("deblock", False)
+    sao_all = params.get("sao") or {}
     missing = {"Y", "U", "V"} - parsed.keys()
     if missing:
         from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
@@ -469,6 +496,7 @@ def decode_frame(bitstream: bytes):
             intra_smoothing=smoothing and name == "Y",  # spec: luma only
             deblock=deblock,
             is_chroma=name != "Y",
+            sao=sao_all.get(name),
         )
         dst.data[...] = np.asarray(plane).astype(np.int16)
     return recon
@@ -478,7 +506,7 @@ def decode_frame(bitstream: bytes):
 def _decode_planes_jit(n: int, height: int, width: int, use_dst: bool,
                        bit_depth: int, scan: str, dequant_rescale: bool,
                        intra_smoothing: bool, deblock: bool = False,
-                       is_chroma: bool = False):
+                       is_chroma: bool = False, with_sao: bool = False):
     """Compiled batched decoder: (B, nb, N*N), (B, nb), (B,) -> (B, H, W).
 
     Frames are independent, so the batch axis vmaps straight over the
@@ -488,16 +516,18 @@ def _decode_planes_jit(n: int, height: int, width: int, use_dst: bool,
     """
     import jax
 
-    def one(levels, modes, qp):
+    def one(levels, modes, qp, sao=None):
         return decode_plane(
             levels, modes, qp, n=n, height=height, width=width,
             use_dst=use_dst, bit_depth=bit_depth, scan=scan,
             dequant_rescale=dequant_rescale,
             intra_smoothing=intra_smoothing,
-            deblock=deblock, is_chroma=is_chroma,
+            deblock=deblock, is_chroma=is_chroma, sao=sao,
         )
 
-    return jax.jit(jax.vmap(one))
+    if with_sao:
+        return jax.jit(jax.vmap(one))
+    return jax.jit(jax.vmap(lambda levels, modes, qp: one(levels, modes, qp)))
 
 
 def decode_planes(
@@ -515,12 +545,18 @@ def decode_planes(
     intra_smoothing: bool = False,
     deblock: bool = False,
     is_chroma: bool = False,
+    sao=None,
 ) -> jnp.ndarray:
     """Batched decode_plane: (B, nb, N*N) levels + (B, nb) modes +
-    (B,) per-frame QPs -> (B, H, W) reconstructions, one dispatch."""
+    (B,) per-frame QPs -> (B, H, W) reconstructions, one dispatch.
+
+    sao, when present, is a per-frame ((B,) type, (B,) band_pos,
+    (B, 4) offsets) triple riding the batch axis."""
     fn = _decode_planes_jit(n, height, width, use_dst, bit_depth, scan,
                             dequant_rescale, intra_smoothing,
-                            deblock, is_chroma)
+                            deblock, is_chroma, sao is not None)
+    if sao is not None:
+        return fn(levels, modes, qps, tuple(jnp.asarray(a) for a in sao))
     return fn(levels, modes, qps)
 
 
@@ -539,6 +575,7 @@ def decode_plane(
     intra_smoothing: bool = False,
     deblock: bool = False,
     is_chroma: bool = False,
+    sao=None,
 ) -> jnp.ndarray:
     """Pixel-exact decoder for closed-loop streams.
 
@@ -595,4 +632,10 @@ def decode_plane(
         plane = ops.deblock_plane(
             plane, qp, bit_depth=bit_depth, is_chroma=is_chroma
         )
+    if sao is not None:
+        # sao = (type_idx, band_pos, offsets[4]) from the frame's SAO
+        # NAL, applied after deblocking (spec 8.7.3 stage order)
+        from nanohevc_tpu.ops.sao import apply_sao
+
+        plane = apply_sao(plane, sao[0], sao[1], sao[2], bit_depth)
     return plane[:height, :width]

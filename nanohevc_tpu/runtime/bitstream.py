@@ -107,6 +107,7 @@ def assemble_bitstream(
     entropy_tiles: int = 1,
     entropy_coder: str = "range",
     deblock: bool = False,
+    sao: Optional[Dict[str, tuple]] = None,
 ) -> bytes:
     """Build a full frame bitstream.
 
@@ -150,6 +151,8 @@ def assemble_bitstream(
         entropy.wrap_nal(entropy.NAL_SPS, entropy.write_params(width, height, first[1], qp, 1, **pk)),
         entropy.wrap_nal(entropy.NAL_PPS, entropy.write_params(width, height, first[1], qp, 2, **pk)),
     ]
+    if sao:
+        out.append(entropy.wrap_nal(entropy.NAL_SAO, write_sao_params(sao)))
     plane_ids = {"Y": 0, "U": 1, "V": 2}
     for name, (levels, block_size) in plane_levels.items():
         levels = np.ascontiguousarray(levels, dtype=np.int32)
@@ -176,6 +179,43 @@ def assemble_bitstream(
         )
         out.append(entropy.wrap_nal(entropy.NAL_SLICE, header + mpay + payload))
     return b"".join(out)
+
+
+def write_sao_params(sao: Dict[str, tuple]) -> bytes:
+    """Per-frame SAO parameter payload: magic "NS" + count, then
+    7 bytes per plane (plane_id, type 0-5, band_pos 0-31, 4 signed
+    offsets).  Offsets fit int8 at every bit depth (cap 31)."""
+    plane_ids = {"Y": 0, "U": 1, "V": 2}
+    out = [b"NS", struct.pack("<B", len(sao))]
+    for name, (type_idx, band_pos, offsets) in sao.items():
+        o = [int(v) for v in offsets]
+        out.append(struct.pack(
+            "<BBBbbbb", plane_ids[name], int(type_idx), int(band_pos), *o
+        ))
+    return b"".join(out)
+
+
+def parse_sao_params(payload: bytes) -> Dict[str, tuple]:
+    """Inverse of write_sao_params, defensive against corruption."""
+    names = {0: "Y", 1: "U", 2: "V"}
+    if len(payload) < 3 or payload[:2] != b"NS":
+        raise entropy.CorruptBitstreamError("bad SAO NAL magic")
+    count = payload[2]
+    if count > 3 or len(payload) < 3 + 7 * count:
+        raise entropy.CorruptBitstreamError(
+            f"corrupt SAO NAL: count={count} len={len(payload)}"
+        )
+    sao: Dict[str, tuple] = {}
+    for i in range(count):
+        pid, t, pos, o0, o1, o2, o3 = struct.unpack_from(
+            "<BBBbbbb", payload, 3 + 7 * i
+        )
+        if pid > 2 or t > 5 or pos > 31:
+            raise entropy.CorruptBitstreamError(
+                f"corrupt SAO params: plane={pid} type={t} band_pos={pos}"
+            )
+        sao[names[pid]] = (t, pos, np.array([o0, o1, o2, o3], np.int32))
+    return sao
 
 
 def _split_nals(data: bytes) -> List[Tuple[int, bytes]]:
@@ -307,6 +347,9 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
             continue
         if nal_type in (entropy.NAL_SPS, entropy.NAL_PPS):
             planes.setdefault("params", {}).update(parse_params(payload))
+            continue
+        if nal_type == entropy.NAL_SAO:
+            planes.setdefault("params", {})["sao"] = parse_sao_params(payload)
             continue
         if nal_type != entropy.NAL_SLICE:
             continue

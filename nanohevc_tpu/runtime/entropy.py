@@ -173,6 +173,7 @@ NAL_VPS = 32
 NAL_SPS = 33
 NAL_PPS = 34
 NAL_SLICE = 1
+NAL_SAO = 39    # per-frame SAO parameter NAL (prefix-SEI-style slot)
 
 
 def wrap_nal(nal_type: int, payload: bytes) -> bytes:

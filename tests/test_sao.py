@@ -120,6 +120,95 @@ class TestOpsParity:
         got = np.asarray(opssao.apply_sao(rec, t1, p1, o1))
         assert (got == want).all()
 
+    def test_sequence_roundtrip_sao_deblock(self, tmp_path):
+        """Sequence with per-frame SAO NALs decodes pixel-exactly."""
+        import jax.numpy as jnp
+
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.sequence import (
+            decode_sequence,
+            encode_sequence,
+        )
+        from nanohevc_tpu.models.wavefront import encode_plane_closed_loop
+
+        rng = np.random.default_rng(55)
+        h = w = 32
+        fs = h * w * 3 // 2
+        n_frames = 3
+        raw = bytes(
+            rng.integers(0, 256, fs * n_frames, dtype=np.uint8)
+        )
+        src = tmp_path / "in.yuv"
+        src.write_bytes(raw)
+        bs = tmp_path / "out.nhb"
+        cfg = EncoderConfig(qp=34, deblock=True, sao=True)
+        res = encode_sequence(
+            str(src), w, h, n_frames, cfg, str(bs), batch=2,
+            closed_loop=True,
+        )
+        assert res.frames == n_frames
+        out = tmp_path / "dec.yuv"
+        assert decode_sequence(str(bs), str(out)) == n_frames
+        dec = out.read_bytes()
+        for f in range(n_frames):
+            y = np.frombuffer(
+                raw[f * fs : f * fs + h * w], np.uint8
+            ).reshape(h, w).astype(np.int32)
+            enc = encode_plane_closed_loop(
+                jnp.asarray(y), jnp.int32(34), n=8,
+                deblock=True, sao=True,
+            )
+            got = np.frombuffer(
+                dec[f * fs : f * fs + h * w], np.uint8
+            ).reshape(h, w)
+            assert np.array_equal(
+                got, np.asarray(enc["recon"]).astype(np.uint8)
+            ), f
+
+    def test_open_loop_sequence_refuses_sao(self, tmp_path):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.sequence import encode_sequence
+
+        src = tmp_path / "in.yuv"
+        src.write_bytes(bytes(16 * 16 * 3 // 2))
+        with pytest.raises(ValueError, match="closed_loop"):
+            encode_sequence(
+                str(src), 16, 16, 1, EncoderConfig(qp=30, sao=True),
+                str(tmp_path / "o.nhb"),
+            )
+
+    def test_frame_roundtrip_sao(self):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.all_intra import create_test_frame
+        from nanohevc_tpu.models.wavefront import (
+            decode_frame,
+            encode_frame_closed_loop,
+        )
+        from nanohevc_tpu.runtime.bitstream import parse_bitstream
+
+        frame = create_test_frame(52, 61)
+        recon, bs = encode_frame_closed_loop(
+            frame, EncoderConfig(qp=37, deblock=True, sao=True)
+        )
+        sao = parse_bitstream(bs)["params"]["sao"]
+        assert set(sao) == {"Y", "U", "V"}
+        dec = decode_frame(bs)
+        for p in ("y", "u", "v"):
+            assert np.array_equal(
+                getattr(dec, p).data, getattr(recon, p).data
+            ), p
+
+    def test_sao_nal_corruption_rejected(self):
+        from nanohevc_tpu.runtime.bitstream import parse_sao_params
+        from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
+        with pytest.raises(CorruptBitstreamError):
+            parse_sao_params(b"XX\x01" + bytes(7))
+        with pytest.raises(CorruptBitstreamError):
+            parse_sao_params(b"NS\x09")
+        with pytest.raises(CorruptBitstreamError):
+            parse_sao_params(b"NS\x01" + bytes([7, 0, 0, 0, 0, 0, 0]))
+
     def test_estimate_jit_and_batch(self):
         import jax
         import jax.numpy as jnp

@@ -1,9 +1,10 @@
 """Regenerate docs/quality.md's measured RD tables.
 
-Three sweeps, printed as markdown rows:
+Four sweeps, printed as markdown rows:
 1. closed-loop parity vs dequant_rescale (bpp + PSNR-Y at 3 QPs),
 2. intra reference smoothing off/on (closed-loop 35-mode, rescale on),
-3. SATD vs RD mode decision (open loop, 3 contents x QPs).
+3. SATD vs RD mode decision (open loop, 3 contents x QPs),
+4. SAO off/on after deblocking (closed-loop 35-mode, rescale on).
 
 Usage: python tools/quality_sweep.py   (CPU backend; a few minutes)
 """
@@ -118,7 +119,39 @@ def rd_decision_table() -> None:
             print(f"| {kind} | {qp} | {cells[0]} | {cells[1]} |")
 
 
+def structured(h: int = 176, w: int = 144) -> np.ndarray:
+    """Gradients + a vertical step edge + sensor-like noise (the
+    deblock/SAO table content: blocking and ringing both present)."""
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 70 + 0.5 * yy + np.where(xx < w // 2, 0, 90) + rng.normal(
+        0, 5, (h, w)
+    )
+    return img.clip(0, 255).astype(np.uint8)
+
+
+def sao_table() -> None:
+    y = structured()
+    f = frame_of(y)
+    print("| qp | bytes (off -> on) | PSNR-Y off | PSNR-Y on | delta |")
+    print("|---|---|---|---|---|")
+    for qp in (32, 40, 47):
+        row_b, row_p = [], []
+        for sao in (False, True):
+            cfg = EncoderConfig(
+                block_size=8, qp=qp, dequant_rescale=True,
+                mode_set="all", decision="satd", deblock=True, sao=sao,
+            )
+            recon, bs = encode_frame_closed_loop(f, cfg)
+            row_b.append(len(bs))
+            row_p.append(psnr_y(recon.y.data, y))
+        print(f"| {qp} | {row_b[0]} -> {row_b[1]} | {row_p[0]:.3f} dB | "
+              f"{row_p[1]:.3f} dB | {row_p[1] - row_p[0]:+.3f} |")
+
+
 if __name__ == "__main__":
     closed_loop_tables()
     print()
     rd_decision_table()
+    print()
+    sao_table()
