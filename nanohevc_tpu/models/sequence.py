@@ -199,6 +199,7 @@ def encode_sequence(
             smoothing_flag=int(config.intra_smoothing),
             entropy_idx=_ENTROPY_IDX[config.entropy_coder],
             deblock_flag=int(config.deblock),
+            mode_mpm_flag=1,  # per-frame slices code modes with MPM
         )
 
     sw = Stopwatch()

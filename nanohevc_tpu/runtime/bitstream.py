@@ -94,6 +94,29 @@ def _np_pack(raster: np.ndarray, sel: np.ndarray) -> np.ndarray:
     return np.take_along_axis(raster.reshape(nb, n * n), orders[sel], axis=1)
 
 
+def _mode_grid(
+    nb: int, width: int, height: int, block_size: int, plane_id: int
+) -> Optional[Tuple[int, int]]:
+    """(nby, nbx) block grid for a slice, or None if nb fits neither
+    the padded (closed-loop) nor the drop-partial (reference-parity)
+    tiling of the SPS geometry.
+
+    Encoder and decoder evaluate this same predicate from the same
+    (nb, SPS dims, block size) inputs, so 'MPM when the grid is
+    known' needs no extra signalling beyond the PPS flag.
+    """
+    pw, ph = (width, height) if plane_id == 0 else (
+        (width + 1) // 2, (height + 1) // 2
+    )
+    cy, cx = -(-ph // block_size), -(-pw // block_size)
+    if cy * cx == nb:
+        return cy, cx
+    fy, fx = ph // block_size, pw // block_size
+    if fy * fx == nb:
+        return fy, fx
+    return None
+
+
 def assemble_bitstream(
     width: int,
     height: int,
@@ -145,6 +168,7 @@ def assemble_bitstream(
         smoothing_flag=int(intra_smoothing),
         entropy_idx=_ENTROPY_IDX[entropy_coder],
         deblock_flag=int(deblock),
+        mode_mpm_flag=1,  # MPM mode syntax wherever the grid is known
     )
     out = [
         entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, first[1], qp, 0, **pk)),
@@ -159,7 +183,12 @@ def assemble_bitstream(
         nb, ncoef = levels.shape
         if plane_modes and name in plane_modes:
             modes = np.ascontiguousarray(plane_modes[name], dtype=np.int32)
-            mpay = entropy.encode_levels(modes.reshape(nb, 1))
+            grid = _mode_grid(nb, width, height, block_size,
+                              plane_ids[name])
+            if grid is not None:
+                mpay = entropy.encode_modes(modes, *grid)
+            else:
+                mpay = entropy.encode_levels(modes.reshape(nb, 1))
         else:
             modes = None
             mpay = b""
@@ -282,6 +311,10 @@ class _BitReader:
     def ue(self) -> int:
         zeros = 0
         while self.bit() == 0:
+            # Reading past the payload means an appended optional field
+            # is absent in an older stream: it reads as 0, the default.
+            if self.pos > 8 * len(self.data):
+                return 0
             zeros += 1
             if zeros > 64:
                 raise ValueError("malformed exp-Golomb")
@@ -320,6 +353,8 @@ def parse_params(payload: bytes) -> dict:
         "entropy_idx": r.ue(),
         # Appended later still; absent reads as ue()==0 == off.
         "deblock": bool(r.ue()),
+        # MPM intra-mode syntax; absent (older streams) == generic.
+        "mode_mpm": bool(r.ue()),
     }
     if pps["entropy_idx"] not in _ENTROPY_NAME:
         raise ValueError(f"bad PPS entropy_idx: {pps['entropy_idx']}")
@@ -391,7 +426,18 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
         modes = None
         off = 20
         if mlen:
-            modes = entropy.decode_levels(payload[off : off + mlen], nb, 1)[:, 0]
+            grid = None
+            if params.get("mode_mpm") and "width" in params:
+                grid = _mode_grid(nb, params["width"], params["height"],
+                                  block_size, plane_id)
+            if grid is not None:
+                modes = entropy.decode_modes(
+                    payload[off : off + mlen], *grid
+                )
+            else:
+                modes = entropy.decode_levels(
+                    payload[off : off + mlen], nb, 1
+                )[:, 0]
             off += mlen
         if _ENTROPY_NAME.get(params.get("entropy_idx", 0)) == "cabac":
             from nanohevc_tpu.runtime import hevc

@@ -53,6 +53,22 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.nhr_encode_modes.restype = ctypes.c_int64
+    lib.nhr_encode_modes.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    lib.nhr_decode_modes.restype = ctypes.c_int64
+    lib.nhr_decode_modes.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.nhr_wrap_nal.restype = ctypes.c_int64
     lib.nhr_wrap_nal.argtypes = [
         ctypes.c_uint8,
@@ -75,6 +91,7 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_uint8,
+        ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
@@ -149,6 +166,38 @@ def decode_levels(data: bytes, nb: int, ncoef: int) -> np.ndarray:
     return out
 
 
+def encode_modes(modes: np.ndarray, nby: int, nbx: int) -> bytes:
+    """(nby*nbx,) int32 intra modes (0-34, raster order) -> compressed
+    bytes via spec 8.4.2.2 MPM prediction over the block grid.
+
+    Neighbor-coherent mode fields (the output of any real mode
+    decision) code in 1-3 bits/block instead of the ~14 the generic
+    level syntax spends on a mode symbol."""
+    modes = np.ascontiguousarray(modes, dtype=np.int32).reshape(-1)
+    if modes.size != nby * nbx:
+        raise ValueError(f"modes size {modes.size} != {nby}x{nbx}")
+    cap = modes.size * 2 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = _lib().nhr_encode_modes(_i32ptr(modes), nby, nbx, _u8ptr(out), cap)
+    if n == -2:
+        raise ValueError("intra mode out of range [0, 34]")
+    if n < 0:
+        raise RuntimeError("mode encoder output overflow")
+    return out[:n].tobytes()
+
+
+def decode_modes(data: bytes, nby: int, nbx: int) -> np.ndarray:
+    """Inverse of encode_modes.  Raises CorruptBitstreamError when the
+    payload fails its checksum or overruns."""
+    buf = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
+    out = np.empty(nby * nbx, dtype=np.int32)
+    rc = _lib().nhr_decode_modes(_u8ptr(buf), len(data), nby, nbx,
+                                 _i32ptr(out))
+    if rc != 0:
+        raise CorruptBitstreamError(f"corrupt mode payload (rc={rc})")
+    return out
+
+
 def block_bits(levels: np.ndarray) -> np.ndarray:
     """Exact per-block rate of the adaptive coder, in fractional bits.
 
@@ -200,22 +249,23 @@ def write_params(
     smoothing_flag: int = 0,
     entropy_idx: int = 0,
     deblock_flag: int = 0,
+    mode_mpm_flag: int = 0,
 ) -> bytes:
     """Parameter-set RBSP payload (0=VPS, 1=SPS, 2=PPS).
 
     SPS carries bit_depth_luma_minus8; PPS carries the scan index
     (0=diag, 1=horizontal, 2=vertical, 3=mode-dependent), the
     spec-gain dequant rescale flag, the entropy engine index
-    (0=framework range coder, 1=spec 9.3 CABAC), and the in-loop
-    deblocking flag — everything a decoder needs beyond the per-slice
-    headers, so closed-loop streams stay self-contained for
-    non-default configs.
+    (0=framework range coder, 1=spec 9.3 CABAC), the in-loop
+    deblocking flag, and the MPM mode-syntax flag — everything a
+    decoder needs beyond the per-slice headers, so closed-loop
+    streams stay self-contained for non-default configs.
     """
     out = np.empty(256, dtype=np.uint8)
     n = _lib().nhr_write_params(
         width, height, block_size, qp, which,
         bit_depth, scan_idx, rescale_flag, smoothing_flag, entropy_idx,
-        deblock_flag, _u8ptr(out), 256,
+        deblock_flag, mode_mpm_flag, _u8ptr(out), 256,
     )
     if n == 0:
         raise RuntimeError("params overflow")

@@ -25,6 +25,7 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -375,6 +376,112 @@ void decode_block(RangeDecoder* dec, ResidualContexts* cx, int32_t* levels,
 }
 
 // ---------------------------------------------------------------------------
+// Intra-mode syntax: spec 8.4.2.2 most-probable-mode prediction
+// ---------------------------------------------------------------------------
+//
+// Per block, raster order over the (nby, nbx) grid: derive the 3-entry
+// MPM candidate list from the left/above neighbor modes (unavailable
+// neighbors read as INTRA_DC=1, the spec rule), then code
+//   prev_intra_pred_flag          1 ctx bin
+//   if set:  mpm_idx              truncated-unary, 2 ctx bins
+//   else:    rem_intra_pred_mode  5 bins, one adaptive ctx per position
+//            (the spec bypasses these; adaptive contexts are the
+//             framework's liberty and strictly help on skewed content)
+// The decoder re-derives the identical list from its already-decoded
+// neighbor modes, so no side information is needed.  Mode numbering is
+// the spec's: 0 planar, 1 DC, 2-34 angular (reference intra.py:24).
+
+struct ModeContexts {
+  Context mpm_flag;
+  Context idx0, idx1;
+  Context rem[5];
+};
+
+// candModeList per spec 8.4.2.2 given left/above candidate modes.
+inline void mpm_list(int32_t a, int32_t b, int32_t* m) {
+  if (a == b) {
+    if (a < 2) {           // both planar/DC: planar, DC, vertical
+      m[0] = 0; m[1] = 1; m[2] = 26;
+    } else {               // angular: a and its two angular neighbors
+      m[0] = a;
+      m[1] = 2 + ((a + 29) % 32);
+      m[2] = 2 + ((a - 2 + 1) % 32);
+    }
+  } else {
+    m[0] = a; m[1] = b;
+    if (a != 0 && b != 0) m[2] = 0;          // planar absent -> planar
+    else m[2] = (a + b) < 2 ? 26 : 1;        // else DC, else vertical
+  }
+}
+
+inline void sort3(int32_t* s) {
+  if (s[0] > s[1]) std::swap(s[0], s[1]);
+  if (s[1] > s[2]) std::swap(s[1], s[2]);
+  if (s[0] > s[1]) std::swap(s[0], s[1]);
+}
+
+// Returns -2 on out-of-range input modes, else 0.
+int encode_modes_impl(const int32_t* modes, int64_t nby, int64_t nbx,
+                      RangeEncoder* enc, ModeContexts* cx) {
+  for (int64_t y = 0; y < nby; ++y) {
+    for (int64_t x = 0; x < nbx; ++x) {
+      int64_t i = y * nbx + x;
+      int32_t mode = modes[i];
+      if (mode < 0 || mode > 34) return -2;
+      int32_t a = x > 0 ? modes[i - 1] : 1;
+      int32_t b = y > 0 ? modes[i - nbx] : 1;
+      int32_t m[3];
+      mpm_list(a, b, m);
+      int idx = mode == m[0] ? 0 : mode == m[1] ? 1 : mode == m[2] ? 2 : -1;
+      enc->encode(&cx->mpm_flag, idx >= 0);
+      if (idx >= 0) {
+        enc->encode(&cx->idx0, idx > 0);
+        if (idx > 0) enc->encode(&cx->idx1, idx - 1);
+      } else {
+        int32_t s[3] = {m[0], m[1], m[2]};
+        sort3(s);
+        int32_t rem = mode;
+        for (int k = 2; k >= 0; --k)
+          if (mode > s[k]) --rem;
+        for (int k = 4; k >= 0; --k)
+          enc->encode(&cx->rem[k], (rem >> k) & 1);
+      }
+    }
+  }
+  return 0;
+}
+
+void decode_modes_impl(RangeDecoder* dec, ModeContexts* cx, int64_t nby,
+                       int64_t nbx, int32_t* out) {
+  for (int64_t y = 0; y < nby; ++y) {
+    for (int64_t x = 0; x < nbx; ++x) {
+      int64_t i = y * nbx + x;
+      int32_t a = x > 0 ? out[i - 1] : 1;
+      int32_t b = y > 0 ? out[i - nbx] : 1;
+      int32_t m[3];
+      mpm_list(a, b, m);
+      int32_t mode;
+      if (dec->decode(&cx->mpm_flag)) {
+        int idx = 0;
+        if (dec->decode(&cx->idx0)) idx = 1 + dec->decode(&cx->idx1);
+        mode = m[idx];
+      } else {
+        int32_t rem = 0;
+        for (int k = 4; k >= 0; --k)
+          rem |= dec->decode(&cx->rem[k]) << k;
+        int32_t s[3] = {m[0], m[1], m[2]};
+        sort3(s);
+        mode = rem;
+        for (int k = 0; k < 3; ++k)
+          if (mode >= s[k]) ++mode;
+      }
+      out[i] = mode;
+      if (dec->failed()) return;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Payload integrity: a 4-lane multiply-xor hash over the level array,
 // appended LE after the range-coded bytes.  The range coder itself
 // cannot detect corruption (any byte string decodes to SOME level
@@ -710,6 +817,39 @@ int64_t nhr_decode_levels_tiled(const uint8_t* data, int64_t nbytes,
   return 0;
 }
 
+// Encode nby*nbx intra modes (0-34, raster order) with MPM prediction.
+// Returns byte count, -1 if cap too small, -2 on out-of-range input.
+// Trailing 4 bytes: the level-array hash over the modes (LE).
+int64_t nhr_encode_modes(const int32_t* modes, int64_t nby, int64_t nbx,
+                         uint8_t* out, int64_t cap) {
+  std::vector<uint8_t> buf;
+  buf.reserve(static_cast<size_t>(nby * nbx) / 2 + 64);
+  RangeEncoder enc(&buf);
+  ModeContexts cx;
+  if (encode_modes_impl(modes, nby, nbx, &enc, &cx) != 0) return -2;
+  enc.finish();
+  uint32_t h = level_hash(modes, nby * nbx);
+  for (int b = 0; b < 4; ++b) buf.push_back((h >> (8 * b)) & 0xffu);
+  if (static_cast<int64_t>(buf.size()) > cap) return -1;
+  std::memcpy(out, buf.data(), buf.size());
+  return static_cast<int64_t>(buf.size());
+}
+
+// Decode nby*nbx modes back.  Return codes as nhr_decode_levels.
+int64_t nhr_decode_modes(const uint8_t* data, int64_t nbytes, int64_t nby,
+                         int64_t nbx, int32_t* out) {
+  if (nbytes < 4) return 1;
+  RangeDecoder dec(data, static_cast<size_t>(nbytes) - 4);
+  ModeContexts cx;
+  decode_modes_impl(&dec, &cx, nby, nbx, out);
+  if (dec.failed()) return 3;
+  uint32_t want = 0;
+  for (int b = 0; b < 4; ++b)
+    want |= static_cast<uint32_t>(data[nbytes - 4 + b]) << (8 * b);
+  if (level_hash(out, nby * nbx) != want) return 2;
+  return 0;
+}
+
 // Wrap a payload into a NAL unit (start code + header + emulation
 // prevention).  Returns byte count, 0 if cap too small.
 int64_t nhr_wrap_nal(uint8_t nal_type, const uint8_t* payload, int64_t n,
@@ -725,7 +865,8 @@ int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
                          int32_t qp, uint8_t which, int32_t bit_depth,
                          int32_t scan_idx, int32_t rescale_flag,
                          int32_t smoothing_flag, int32_t entropy_idx,
-                         int32_t deblock_flag, uint8_t* out, int64_t cap) {
+                         int32_t deblock_flag, int32_t mode_mpm_flag,
+                         uint8_t* out, int64_t cap) {
   BitWriter bw;
   bw.put_bits(0x4e48u, 16);  // "NH" magic
   bw.put_bits(which, 8);
@@ -746,6 +887,7 @@ int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
     bw.put_ue(static_cast<uint32_t>(smoothing_flag));  // [1 2 1] ref filter
     bw.put_ue(static_cast<uint32_t>(entropy_idx));  // 0=range 1=spec CABAC
     bw.put_ue(static_cast<uint32_t>(deblock_flag));  // spec 8.7.2 in-loop
+    bw.put_ue(static_cast<uint32_t>(mode_mpm_flag));  // MPM mode syntax
   }
   bw.rbsp_trailing();
   if (static_cast<int64_t>(bw.bytes().size()) > cap) return 0;
@@ -766,6 +908,6 @@ void nhr_block_bits(const int32_t* levels, int64_t nb, int32_t ncoef,
   }
 }
 
-int32_t nhr_version() { return 19; }
+int32_t nhr_version() { return 20; }
 
 }  // extern "C"
