@@ -98,6 +98,14 @@ def cmd_encode(args: argparse.Namespace) -> None:
         )
         sys.exit(1)
 
+    if args.rdoq and args.pipeline != "full":
+        print(
+            "Error: --rdoq runs in the open-loop full pipeline's "
+            "quantization stage; use --pipeline full",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
     if (args.deblock or args.sao) and args.pipeline != "closed-loop":
         which = "--deblock" if args.deblock else "--sao"
         print(
@@ -179,6 +187,7 @@ def cmd_encode(args: argparse.Namespace) -> None:
             scan=args.scan,
             entropy_coder=args.entropy,
             rdo_cbf=args.rdo,
+            rdoq=args.rdoq,
             dequant_rescale=args.dequant_rescale,
             intra_smoothing=args.intra_smoothing,
         )
@@ -379,6 +388,13 @@ def main(argv: list[str] | None = None) -> None:
         "--rdo",
         action="store_true",
         help="RD-optimized coded-block-flag decision (full pipeline)",
+    )
+    enc.add_argument(
+        "--rdoq",
+        action="store_true",
+        help="rate-distortion optimized quantization: re-decide levels "
+        "under D + lambda*R (level trim + last-position choice); "
+        "encoder-only, streams stay decodable (full pipeline)",
     )
     enc.add_argument(
         "--bitstream",

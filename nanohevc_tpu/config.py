@@ -36,6 +36,12 @@ class EncoderConfig:
     # mode-dependent selection at 4x4/8x8, diag above).
     scan: str = "diag"
     rdo_cbf: bool = False   # RD-optimized coded-block-flag decision
+    # Rate-distortion optimized quantization (ops/rdoq.py): re-decide
+    # quantized levels under D + lambda*R (level trim + last-position
+    # choice against the calibrated coder rate model).  Encoder-only;
+    # streams stay decodable.  The reference quantizer is plain
+    # deadzone (its quant.py:41-79).
+    rdoq: bool = False
     # Reference-sample smoothing (spec 8.4.4.2.3): [1 2 1] filter on
     # the prediction references for the modes the spec's filter-flag
     # rule selects (nothing at 4x4, DC never).  The reference

@@ -235,12 +235,18 @@ def encode_plane_full(
     bit_depth: int = 8,
     scan: str = "diag",
     rdo_cbf: bool = False,
+    rdoq: bool = False,
     dequant_rescale: bool = False,
     rate_mode: str = "coder",
     rd_lambda_scale: float = 1.0,
     intra_smoothing: bool = False,
 ):
     """Full front-half encode of one plane.
+
+    rdoq enables rate-distortion optimized quantization (ops/rdoq.py):
+    levels are re-decided under D + lambda * R before reconstruction.
+    Encoder-only — streams stay decodable by the unchanged decoder.
+    The reference has no RDOQ (plain deadzone, its quant.py:41-79).
 
     rdo_cbf enables a rate-distortion coded-block decision: a block's
     residual is dropped (all levels zeroed, recon = clipped prediction)
@@ -278,11 +284,30 @@ def encode_plane_full(
     res = blocks - pred
     coeff = ops.forward_transform(res, use_dst)
     levels = ops.quantize(coeff, qp, n, is_intra)
+    if rdoq:
+        # RD-optimal level adjustment in scan domain (encoder-only:
+        # the decoder dequantizes whatever levels arrive).  Lambda is
+        # calibrated to the codec's true quantization step — the
+        # nominal HEVC formula barely binds at this coefficient scale.
+        from nanohevc_tpu.ops.rdoq import rd_lambda_calibrated
+
+        lam = rd_lambda_calibrated(
+            qp, n, use_dst, dequant_rescale, rd_lambda_scale
+        )
+        gain = jnp.broadcast_to(ops.rdoq_gain(n, use_dst), coeff.shape)
+        packed = ops.rdoq_levels(
+            ops.scan_pack(coeff, scan, modes=modes),
+            ops.scan_pack(levels, scan, modes=modes),
+            ops.scan_pack(gain, scan, modes=modes),
+            qp, n, lam, dequant_rescale=dequant_rescale,
+        )
+        levels = ops.scan_unpack(packed, scan, modes=modes)
     deq = ops.dequantize(levels, qp, n, rescale=dequant_rescale)
     rec_res = ops.inverse_transform(deq, use_dst)
     recon_blocks = _clip(pred + rec_res, bit_depth)
 
-    packed = ops.scan_pack(levels, scan, modes=modes)
+    if not rdoq:
+        packed = ops.scan_pack(levels, scan, modes=modes)
     if rdo_cbf:
         pred_clip = _clip(pred, bit_depth)
         d_coded = ops.residual_energy_blocks(blocks - recon_blocks)
@@ -430,7 +455,7 @@ def _jit_parity(n: int, bit_depth: int):
 def _jit_full(n: int, mode_set: str, decision: str, use_dst: bool,
               is_intra: bool, bit_depth: int, scan: str,
               rdo_cbf: bool = False, dequant_rescale: bool = False,
-              intra_smoothing: bool = False):
+              intra_smoothing: bool = False, rdoq: bool = False):
     return jax.jit(
         partial(
             encode_plane_full,
@@ -442,6 +467,7 @@ def _jit_full(n: int, mode_set: str, decision: str, use_dst: bool,
             bit_depth=bit_depth,
             scan=scan,
             rdo_cbf=rdo_cbf,
+            rdoq=rdoq,
             dequant_rescale=dequant_rescale,
             intra_smoothing=intra_smoothing,
         )
@@ -522,13 +548,14 @@ def encode_frame_full(frame: Frame, config: EncoderConfig) -> Tuple[Frame, dict]
         bs = config.block_size if is_luma else config.chroma_block_size()
         width = src.width
         # route to the fused slab kernels when the config allows
-        # (rdo_cbf needs the XLA path's RD stage)
-        if not config.rdo_cbf and supports_fast_path(config, bs, width, is_luma):
+        # (rdo_cbf / rdoq need the XLA path's RD stages)
+        xla_only = config.rdo_cbf or config.rdoq
+        if not xla_only and supports_fast_path(config, bs, width, is_luma):
             out = _jit_fast(
                 bs, config.bit_depth, config.scan, config.qp,
                 config.use_dst(bs, is_luma), config.dequant_rescale,
             )(jnp.asarray(src.data))
-        elif not config.rdo_cbf and supports_mode_search_fast_path(
+        elif not xla_only and supports_mode_search_fast_path(
             config, bs, width, is_luma
         ):
             out = _jit_fast_modes(
@@ -547,6 +574,7 @@ def encode_frame_full(frame: Frame, config: EncoderConfig) -> Tuple[Frame, dict]
                 config.rdo_cbf,
                 config.dequant_rescale,
                 config.intra_smoothing and is_luma,  # spec: luma only
+                config.rdoq,
             )
             out = fn(jnp.asarray(src.data), jnp.int32(config.qp))
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)

@@ -42,6 +42,7 @@ from nanohevc_tpu.ops.rate import (
     model_bits as rate_model_bits,
     model_bits_adaptive as rate_model_bits_adaptive,
 )
+from nanohevc_tpu.ops.rdoq import rdoq_levels, rdoq_gain
 
 __all__ = [
     "tile_plane",
@@ -74,4 +75,6 @@ __all__ = [
     "rate_model_bits",
     "rate_model_bits_adaptive",
     "scan_unpack",
+    "rdoq_levels",
+    "rdoq_gain",
 ]
