@@ -465,6 +465,15 @@ def decode_frame(bitstream: bytes):
     smoothing = params.get("intra_smoothing", False)
     deblock = params.get("deblock", False)
     sao_all = params.get("sao") or {}
+    if params.get("sao_enabled") and not sao_all:
+        # The PPS promised per-frame SAO parameters; a stream that lost
+        # its SAO NAL must fail loudly, not decode silently unfiltered.
+        from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
+
+        raise CorruptBitstreamError(
+            "PPS signals SAO but the frame's SAO NAL is missing "
+            "(truncated or corrupted stream)"
+        )
     missing = {"Y", "U", "V"} - parsed.keys()
     if missing:
         from nanohevc_tpu.runtime.entropy import CorruptBitstreamError

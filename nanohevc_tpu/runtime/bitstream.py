@@ -169,6 +169,8 @@ def assemble_bitstream(
         entropy_idx=_ENTROPY_IDX[entropy_coder],
         deblock_flag=int(deblock),
         mode_mpm_flag=1,  # MPM mode syntax wherever the grid is known
+        sao_flag=int(bool(sao)),  # a stream losing its SAO NAL must
+                                  # fail decode, not decode unfiltered
     )
     out = [
         entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, first[1], qp, 0, **pk)),
@@ -355,6 +357,9 @@ def parse_params(payload: bytes) -> dict:
         "deblock": bool(r.ue()),
         # MPM intra-mode syntax; absent (older streams) == generic.
         "mode_mpm": bool(r.ue()),
+        # SAO expected: when set the decoder must find the frame's SAO
+        # NAL (parse_bitstream checks); absent (older streams) == off.
+        "sao_enabled": bool(r.ue()),
     }
     if pps["entropy_idx"] not in _ENTROPY_NAME:
         raise ValueError(f"bad PPS entropy_idx: {pps['entropy_idx']}")

@@ -98,6 +98,7 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
+        ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
@@ -250,6 +251,7 @@ def write_params(
     entropy_idx: int = 0,
     deblock_flag: int = 0,
     mode_mpm_flag: int = 0,
+    sao_flag: int = 0,
 ) -> bytes:
     """Parameter-set RBSP payload (0=VPS, 1=SPS, 2=PPS).
 
@@ -257,15 +259,17 @@ def write_params(
     (0=diag, 1=horizontal, 2=vertical, 3=mode-dependent), the
     spec-gain dequant rescale flag, the entropy engine index
     (0=framework range coder, 1=spec 9.3 CABAC), the in-loop
-    deblocking flag, and the MPM mode-syntax flag — everything a
-    decoder needs beyond the per-slice headers, so closed-loop
-    streams stay self-contained for non-default configs.
+    deblocking flag, the MPM mode-syntax flag, and the SAO flag —
+    everything a decoder needs beyond the per-slice headers, so
+    closed-loop streams stay self-contained for non-default configs.
+    The SAO flag makes a dropped per-frame SAO NAL a loud decode
+    error instead of a silently unfiltered reconstruction.
     """
     out = np.empty(256, dtype=np.uint8)
     n = _lib().nhr_write_params(
         width, height, block_size, qp, which,
         bit_depth, scan_idx, rescale_flag, smoothing_flag, entropy_idx,
-        deblock_flag, mode_mpm_flag, _u8ptr(out), 256,
+        deblock_flag, mode_mpm_flag, sao_flag, _u8ptr(out), 256,
     )
     if n == 0:
         raise RuntimeError("params overflow")

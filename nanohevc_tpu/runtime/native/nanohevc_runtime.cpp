@@ -866,7 +866,7 @@ int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
                          int32_t scan_idx, int32_t rescale_flag,
                          int32_t smoothing_flag, int32_t entropy_idx,
                          int32_t deblock_flag, int32_t mode_mpm_flag,
-                         uint8_t* out, int64_t cap) {
+                         int32_t sao_flag, uint8_t* out, int64_t cap) {
   BitWriter bw;
   bw.put_bits(0x4e48u, 16);  // "NH" magic
   bw.put_bits(which, 8);
@@ -888,6 +888,10 @@ int64_t nhr_write_params(int32_t width, int32_t height, int32_t block_size,
     bw.put_ue(static_cast<uint32_t>(entropy_idx));  // 0=range 1=spec CABAC
     bw.put_ue(static_cast<uint32_t>(deblock_flag));  // spec 8.7.2 in-loop
     bw.put_ue(static_cast<uint32_t>(mode_mpm_flag));  // MPM mode syntax
+    bw.put_ue(static_cast<uint32_t>(sao_flag));  // spec 8.7.3 SAO: when
+                             // set, a decoder must find the frame's SAO
+                             // NAL or reject the stream (a dropped SAO
+                             // NAL must not silently decode unfiltered)
   }
   bw.rbsp_trailing();
   if (static_cast<int64_t>(bw.bytes().size()) > cap) return 0;
