@@ -171,7 +171,6 @@ def _kernel(scal_ref, x_ref, next_ref, above_ref,
     phase = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1) % n
     col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
     first_block = col < n
-    i_iota = jax.lax.broadcasted_iota(jnp.int32, (n * g, 1), 0) // g
     q_g = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
 
     # above[q] = the row above block-row q; row 0 of slab 0 is the
@@ -207,12 +206,34 @@ def _kernel(scal_ref, x_ref, next_ref, above_ref,
     def top_at(idx: int) -> jnp.ndarray:
         return topshift[idx] if idx >= 0 else negshift[-idx]
 
-    anchor_cache: dict[int, jnp.ndarray] = {-1: corner}
+    best_pred, best_mode = _mode_sweep_g(
+        x, above, lc, l_stack, corner, top_at, negshift, phase, n, g,
+        packed_min,
+    )
 
-    def anchor(s: int) -> jnp.ndarray:
-        if s not in anchor_cache:
-            anchor_cache[s] = _spread_phase(above, s, phase, n)
-        return anchor_cache[s]
+    level, recon = _transform_quant_recon_g(
+        scal_ref, x, best_pred, t_host, wfwd_ref, winv_ref, n, g
+    )
+    recon_ref[:, :] = recon
+    levels_ref[:, :] = level
+    modes_ref[:, :] = best_mode
+
+
+def _mode_sweep_g(x, above, lc, l_stack, corner, top_at, negshift,
+                  phase, n: int, g: int, packed_min: bool):
+    """The grouped 35-mode SATD sweep over g interleaved block-rows.
+
+    Pure lane/group algebra: all reference access goes through the
+    caller's machinery (above/lc/l_stack/corner (g, W) or interleaved
+    (n*g, W) stacks, top_at/negshift), so the same sweep serves the
+    open-loop grouped kernel (references from source pixels) and the
+    grouped closed-loop wavefront kernel (references from the
+    persistent reconstruction state).  Returns (best_pred (n*g, W),
+    best_mode (g, W)); decision semantics = decide_modes("all",
+    "satd") — identical to mode_search_slab._mode_sweep, row-grouped.
+    """
+    w = x.shape[1]
+    i_iota = jax.lax.broadcasted_iota(jnp.int32, (n * g, 1), 0) // g
 
     def vert_ext(jx: int, inv: int) -> jnp.ndarray:
         if jx == 0:
@@ -388,13 +409,7 @@ def _kernel(scal_ref, x_ref, next_ref, above_ref,
         best_mode = best_packed % 64                          # (g, W)
     else:
         best_pred, _, best_mode = best
-
-    level, recon = _transform_quant_recon_g(
-        scal_ref, x, best_pred, t_host, wfwd_ref, winv_ref, n, g
-    )
-    recon_ref[:, :] = recon
-    levels_ref[:, :] = level
-    modes_ref[:, :] = best_mode
+    return best_pred, best_mode
 
 
 @lru_cache(maxsize=None)

@@ -259,6 +259,10 @@ def encode_planes_closed_loop(
         wavefront_mode_kernel_supported,
         wavefront_mode_search_blocks,
     )
+    from nanohevc_tpu.kernels.wavefront_mode_grouped import (
+        wavefront_mode_grouped_supported,
+        wavefront_mode_search_blocks_grouped,
+    )
 
     # Pre-skew the source blocks once: (B, ndiag, nby, N, N).  Pure
     # pad+reshape (no gather HLO); inside the loop everything is slices.
@@ -284,7 +288,18 @@ def encode_planes_closed_loop(
                                                    use_dst)
             )
         )
-    if allow_fast and wavefront_mode_kernel_supported(
+    if allow_fast and wavefront_mode_grouped_supported(
+        n, b, mode_set, decision, use_dst
+    ):
+        # batch packs the sublane axis: (1, W) reference ops become
+        # (g, W) and row slices become tile-aligned g-row groups —
+        # the open-loop grouped kernel's ~2.3x layout win, applied to
+        # the wavefront (kernels/wavefront_mode_grouped.py).
+        rec_all, levels_all, modes_all = wavefront_mode_search_blocks_grouped(
+            blocks_sk, qp, n=n, nby=nby, nbx=nbx, use_dst=use_dst,
+            bit_depth=bit_depth, dequant_rescale=dequant_rescale,
+        )
+    elif allow_fast and wavefront_mode_kernel_supported(
         n, mode_set, decision, use_dst
     ):
         rec_all, levels_all, modes_all = wavefront_mode_search_blocks(

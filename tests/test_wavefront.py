@@ -254,6 +254,42 @@ class TestModeSearchKernelParity:
     def test_batched(self):
         self._check(8, 64, 32, b=2, qp=35)
 
+    @pytest.mark.parametrize("group,b", [(2, 4), (2, 6), (1, 3)])
+    def test_grouped_lane_packing(self, group, b):
+        """The (g sublane, m lane) batch factorization is bit-exact for
+        m > 1: frames tiled back to back along lanes must stay isolated
+        (frame-local slot masks) — the real-TPU layout is g=8, m=B/8."""
+        from nanohevc_tpu.kernels.wavefront_mode_grouped import (
+            wavefront_mode_search_blocks_grouped,
+        )
+        from nanohevc_tpu.models.wavefront import (
+            _deskew_blocks,
+            _skew_blocks,
+            encode_planes_closed_loop,
+        )
+        from nanohevc_tpu import ops
+
+        n, h, w = 8, 48, 64
+        nby, nbx = h // n, w // n
+        rng = np.random.default_rng(group * 10 + b)
+        planes = jnp.asarray(
+            rng.integers(0, 256, (b, h, w)).astype(np.int32)
+        )
+        blocks = jnp.stack([ops.tile_plane(p, n) for p in planes])
+        rec, lev, modes = wavefront_mode_search_blocks_grouped(
+            _skew_blocks(blocks, nby, nbx), jnp.int32(30), n=n,
+            nby=nby, nbx=nbx, group=group,
+        )
+        want = encode_planes_closed_loop(
+            planes, jnp.int32(30), n=n, mode_set="all", decision="satd",
+            allow_fast=False,
+        )
+        got_rec = jnp.stack([
+            ops.untile_plane(f, h, w)
+            for f in _deskew_blocks(rec, nby, nbx)
+        ])
+        assert np.array_equal(np.asarray(got_rec), np.asarray(want["recon"]))
+
     @pytest.mark.parametrize("n,dst", [(4, True), (8, False)])
     def test_matches_sequential_oracle(self, n, dst):
         """Both paths (fused kernel and XLA scan) == the sequential
