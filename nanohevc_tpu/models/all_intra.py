@@ -44,6 +44,17 @@ def _cost(blocks: jnp.ndarray, pred: jnp.ndarray, decision: str) -> jnp.ndarray:
     return ops.sad_blocks(blocks, pred)
 
 
+def _rd_lambda(qp, rd_lambda_scale: float) -> jnp.ndarray:
+    """HEVC-style lambda(QP) = 0.57 * 2^((QP-12)/3), scaled.
+
+    One definition shared by the mode decision, the cbf decision and
+    the mode-rate term so every RD mechanism prices bits identically.
+    """
+    return rd_lambda_scale * 0.57 * jnp.exp2(
+        (jnp.asarray(qp, jnp.float32) - 12.0) / 3.0
+    )
+
+
 def _rd_costs(
     blocks: jnp.ndarray,
     preds: jnp.ndarray,
@@ -77,9 +88,7 @@ def _rd_costs(
     diff = (blk - recon).astype(jnp.float32)
     sse = (diff * diff).sum(axis=(1, 2))
     bits = ops.rate_model_bits_adaptive(ops.scan_pack(levels, "diag"))
-    lam = rd_lambda_scale * 0.57 * jnp.exp2(
-        (jnp.asarray(qp, jnp.float32) - 12.0) / 3.0
-    )
+    lam = _rd_lambda(qp, rd_lambda_scale)
     return (sse + lam * bits).reshape(nb, m)
 
 
@@ -95,6 +104,7 @@ def decide_modes(
     use_dst: bool = False,
     dequant_rescale: bool = False,
     rd_lambda_scale: float = 1.0,
+    grid: Tuple[int, int] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pick the best intra mode per block.
 
@@ -116,6 +126,16 @@ def decide_modes(
     must match the pipeline so the measured distortion is the real
     one.  Costlier than SATD (full chain x 35) but fully batched on
     the MXU.
+
+    grid=(nby, nbx) (the raster block-grid shape) additionally charges
+    each candidate its MPM signalling cost lambda * mode_bits
+    (ops/mode_rate.py: 2/3/6 static bins per spec 8.4.2.2 — the term
+    the bitstream's mode coder actually spends, runtime/entropy.py
+    encode_modes).  Two passes: pass 1 decides on SSE + lambda *
+    level_bits alone, pass 2 derives each block's MPM list from its
+    pass-1 left/above neighbors and re-decides with the mode-rate
+    term included — the standard one-step RDO approximation for an
+    all-at-once open-loop decision.  decision="rd" only.
     """
     from nanohevc_tpu.ops.intra import mode_filter_flags
 
@@ -144,6 +164,14 @@ def decide_modes(
         cost_pl = _cost(blocks, pl, decision)
 
     if mode_set == "dc_planar":
+        if decision == "rd" and grid is not None:
+            from nanohevc_tpu.ops.mode_rate import mode_bits_for_grid
+
+            lam = _rd_lambda(qp, rd_lambda_scale)
+            p1 = jnp.where(cost_dc <= cost_pl, DC_MODE, PLANAR_MODE)
+            bits_m = mode_bits_for_grid(p1.astype(jnp.int32).reshape(grid))
+            cost_dc = cost_dc + lam * bits_m[:, DC_MODE]
+            cost_pl = cost_pl + lam * bits_m[:, PLANAR_MODE]
         dc_wins = cost_dc <= cost_pl
         pred = jnp.where(dc_wins[:, None, None], dc, pl)
         mode = jnp.where(dc_wins, DC_MODE, PLANAR_MODE).astype(jnp.int32)
@@ -186,6 +214,12 @@ def decide_modes(
     costs = jnp.concatenate(
         [cost_pl[:, None], cost_dc[:, None], costs_ang], axis=1
     )                                                    # (nb, 35); idx = mode
+    if decision == "rd" and grid is not None:
+        from nanohevc_tpu.ops.mode_rate import mode_bits_for_grid
+
+        lam = _rd_lambda(qp, rd_lambda_scale)
+        p1 = jnp.argmin(costs, axis=1).astype(jnp.int32)
+        costs = costs + lam * mode_bits_for_grid(p1.reshape(grid))
     best_mode = jnp.argmin(costs, axis=1).astype(jnp.int32)  # ties -> lowest
     onehot = jax.nn.one_hot(best_mode - 2, 33, dtype=jnp.int32)
     best_ang = jnp.einsum(
@@ -280,6 +314,7 @@ def encode_plane_full(
         blocks, refs, n, mode_set, decision, smoothing=intra_smoothing,
         bit_depth=bit_depth, qp=qp, use_dst=use_dst,
         dequant_rescale=dequant_rescale, rd_lambda_scale=rd_lambda_scale,
+        grid=(h // n, w // n),
     )
     res = blocks - pred
     coeff = ops.forward_transform(res, use_dst)
@@ -318,9 +353,7 @@ def encode_plane_full(
             rate = ops.rate_model_bits_adaptive(packed)
         else:
             rate = ops.estimate_bits_blocks(levels)
-        lam = rd_lambda_scale * 0.57 * jnp.exp2(
-            (jnp.asarray(qp, jnp.float32) - 12.0) / 3.0
-        )
+        lam = _rd_lambda(qp, rd_lambda_scale)
         skip = d_skip.astype(jnp.float32) <= d_coded.astype(jnp.float32) + lam * rate
         levels = jnp.where(skip[:, None, None], 0, levels)
         packed = jnp.where(skip[:, None], 0, packed)

@@ -187,3 +187,115 @@ class TestBitstreamIntegration:
         mpm = E.encode_modes(m, 36, 36)
         gen = E.encode_levels(m.reshape(-1, 1))
         assert len(mpm) < len(gen) / 20
+
+
+class TestDeviceModeRate:
+    """ops/mode_rate.py: the RD decision's device-side mode-rate term
+    must mirror the native coder's candModeList and bin counts
+    (round-4 verdict item 5)."""
+
+    def test_lists_match_twin_all_pairs(self):
+        import jax.numpy as jnp
+
+        from nanohevc_tpu.ops.mode_rate import mpm_lists
+
+        a, b = np.meshgrid(np.arange(35), np.arange(35), indexing="ij")
+        got = np.asarray(mpm_lists(jnp.asarray(a), jnp.asarray(b)))
+        for i in range(35):
+            for j in range(35):
+                assert got[i, j].tolist() == mpm_list(i, j), (i, j)
+
+    def test_mode_bits_values_all_pairs(self):
+        import jax.numpy as jnp
+
+        from nanohevc_tpu.ops.mode_rate import mpm_mode_bits
+
+        a, b = np.meshgrid(np.arange(35), np.arange(35), indexing="ij")
+        bits = np.asarray(
+            mpm_mode_bits(jnp.asarray(a.ravel()), jnp.asarray(b.ravel()))
+        ).reshape(35, 35, 35)
+        for i in range(0, 35, 5):
+            for j in range(0, 35, 7):
+                m = mpm_list(i, j)
+                for mode in range(35):
+                    want = (
+                        2.0 if mode == m[0]
+                        else 3.0 if mode in m[1:]
+                        else 6.0
+                    )
+                    assert bits[i, j, mode] == want, (i, j, mode)
+
+    def test_neighbor_planes_follow_raster_order(self):
+        import jax.numpy as jnp
+
+        from nanohevc_tpu.ops.mode_rate import neighbor_modes_grid
+
+        g = jnp.arange(12, dtype=jnp.int32).reshape(3, 4)
+        a, b = neighbor_modes_grid(g)
+        assert np.array_equal(
+            np.asarray(a),
+            [[1, 0, 1, 2], [1, 4, 5, 6], [1, 8, 9, 10]],
+        )
+        assert np.array_equal(
+            np.asarray(b),
+            [[1, 1, 1, 1], [0, 1, 2, 3], [4, 5, 6, 7]],
+        )
+
+    def test_static_bits_upper_bound_coder_actuals(self):
+        """Total static-bin estimate (with the decoder's true neighbor
+        lists, i.e. final modes) upper-bounds the adaptive coder's
+        actual bytes on coherent AND random fields, and tracks within
+        2x — the estimate is a sound RD price."""
+        import jax.numpy as jnp
+
+        from nanohevc_tpu.ops.mode_rate import mode_bits_for_grid
+
+        rng = np.random.default_rng(11)
+        fields = {
+            "coherent": np.full((24, 30), 26, np.int32),
+            "patchy": np.where(
+                rng.random((24, 30)) < 0.1,
+                rng.integers(0, 35, (24, 30)),
+                10,
+            ).astype(np.int32),
+            "random": rng.integers(0, 35, (24, 30)).astype(np.int32),
+        }
+        for name, grid in fields.items():
+            bits = np.asarray(mode_bits_for_grid(jnp.asarray(grid)))
+            est = bits[np.arange(grid.size), grid.ravel()].sum()
+            actual = 8 * len(E.encode_modes(grid.ravel(), *grid.shape))
+            # trailer/flush overhead ~8 bytes; contexts only help
+            assert actual <= est + 64, (name, actual, est)
+            if name == "random":
+                # where contexts cannot learn, the static price tracks
+                # (coherent fields compress far below it — that slack
+                # is the adaptive coder's win, not a model error)
+                assert est <= 1.5 * actual, (name, actual, est)
+
+    def test_rd_grid_term_increases_mode_coherence(self):
+        """decision='rd' with the grid term must produce a mode field
+        at least as cheap to signal as without it (the term's whole
+        point), measured by the real coder."""
+        import jax.numpy as jnp
+
+        from nanohevc_tpu.models.all_intra import decide_modes
+        from nanohevc_tpu import ops
+
+        rng = np.random.default_rng(5)
+        h = w = 64
+        n = 8
+        base = np.linspace(0, 255, w, dtype=np.int32)[None, :]
+        plane = jnp.asarray(
+            np.clip(base + rng.integers(-20, 21, (h, w)), 0, 255)
+        )
+        blocks = ops.tile_plane(plane, n)
+        refs = ops.extract_refs(plane, n, boundary=128)
+        kw = dict(qp=40, rd_lambda_scale=4.0)
+        _, m_no = decide_modes(blocks, refs, n, "all", "rd", **kw)
+        _, m_gr = decide_modes(
+            blocks, refs, n, "all", "rd", grid=(h // n, w // n), **kw
+        )
+        nby = nbx = h // n
+        by_no = len(E.encode_modes(np.asarray(m_no), nby, nbx))
+        by_gr = len(E.encode_modes(np.asarray(m_gr), nby, nbx))
+        assert by_gr <= by_no, (by_gr, by_no)
