@@ -27,15 +27,16 @@ import jax.numpy as jnp
 
 from nanohevc_tpu.ref.deblock import BETA_TABLE, TC_TABLE
 
-_BETA_J = jnp.asarray(BETA_TABLE)
-_TC_J = jnp.asarray(TC_TABLE)
+# No module-level jnp constants: this module is imported lazily inside
+# jitted pipelines, and an Array created during an active trace leaks
+# as a tracer into later traces.  Tables lift per call (XLA folds it).
 
 
 def _params(qp, bit_depth: int):
     """Traced (beta, tc) for a bS=2 edge (Table 8-12, bit-depth scaled)."""
     qp = jnp.asarray(qp, jnp.int32)
-    beta = _BETA_J[jnp.clip(qp, 0, 51)] << (bit_depth - 8)
-    tc = _TC_J[jnp.clip(qp + 2, 0, 53)] << (bit_depth - 8)
+    beta = jnp.asarray(BETA_TABLE)[jnp.clip(qp, 0, 51)] << (bit_depth - 8)
+    tc = jnp.asarray(TC_TABLE)[jnp.clip(qp + 2, 0, 53)] << (bit_depth - 8)
     return beta, tc
 
 

@@ -32,7 +32,11 @@ from nanohevc_tpu.ref.sao import (
     max_offset,
 )
 
-_EDGE_CAT_J = jnp.asarray(EDGE_CAT)
+# NOTE: no module-level jnp constants — this module is imported lazily
+# inside jitted pipelines, and an Array created during an active trace
+# leaks as a tracer into every later trace (UnexpectedTracerError from
+# a *different* jit).  EDGE_CAT stays numpy; _eo_cat lifts it per call
+# (XLA constant-folds the conversion).
 
 
 def _valid_mask(h: int, w: int, eo_class: int) -> np.ndarray:
@@ -57,7 +61,7 @@ def _eo_cat(p, eo_class: int):
     n0 = jnp.roll(p, (-dy0, -dx0), axis=(-2, -1))
     n1 = jnp.roll(p, (-dy1, -dx1), axis=(-2, -1))
     ei = 2 + jnp.sign(p - n0) + jnp.sign(p - n1)
-    cat = _EDGE_CAT_J[ei]
+    cat = jnp.asarray(EDGE_CAT)[ei]
     valid = jnp.asarray(_valid_mask(p.shape[-2], p.shape[-1], eo_class))
     return jnp.where(valid, cat, 0)
 
