@@ -106,8 +106,10 @@ def cmd_encode(args: argparse.Namespace) -> None:
         )
         sys.exit(1)
 
-    if (args.deblock or args.sao) and args.pipeline != "closed-loop":
-        which = "--deblock" if args.deblock else "--sao"
+    if (args.deblock or args.sao or args.sao_ctb) and \
+            args.pipeline != "closed-loop":
+        which = ("--deblock" if args.deblock
+                 else "--sao" if args.sao else "--sao-ctb")
         print(
             f"Error: {which} is an in-loop filter on the decodable "
             "reconstruction; use --pipeline closed-loop",
@@ -144,6 +146,8 @@ def cmd_encode(args: argparse.Namespace) -> None:
             intra_smoothing=args.intra_smoothing,
             deblock=args.deblock,
             sao=args.sao,
+            sao_ctb=args.sao_ctb,
+            sao_tile=args.sao_tile,
         )
         if args.target_bytes:
             config = _rate_search(config)
@@ -242,6 +246,10 @@ def cmd_encode_seq(args: argparse.Namespace) -> None:
         rdo_cbf=args.rdo,
         dequant_rescale=args.dequant_rescale,
         intra_smoothing=args.intra_smoothing,
+        deblock=args.deblock,
+        sao=args.sao,
+        sao_ctb=args.sao_ctb,
+        sao_tile=args.sao_tile,
     )
     res = encode_sequence(
         args.input,
@@ -430,6 +438,20 @@ def main(argv: list[str] | None = None) -> None:
         "in a SAO NAL (closed-loop pipeline only)",
     )
     enc.add_argument(
+        "--sao-ctb",
+        action="store_true",
+        help="CTB-granular SAO (the spec's real grain): per-tile "
+        "EO/BO parameters RD-selected with merge flags, carried in a "
+        "bit-packed CTB-SAO NAL (closed-loop only; excludes --sao)",
+    )
+    enc.add_argument(
+        "--sao-tile",
+        type=int,
+        default=64,
+        help="CTB tile size in samples for --sao-ctb (power of two, "
+        "default 64)",
+    )
+    enc.add_argument(
         "--dequant-rescale",
         action="store_true",
         help="spec-correct dequant size rescale at N>4 (better recon "
@@ -480,6 +502,16 @@ def main(argv: list[str] | None = None) -> None:
                      help="[1 2 1] reference smoothing (PPS-carried)")
     seq.add_argument("--dequant-rescale", action="store_true",
                      help="spec-correct dequant size rescale (PPS-carried)")
+    seq.add_argument("--deblock", action="store_true",
+                     help="in-loop deblocking (spec 8.7.2; closed-loop "
+                          "only, PPS-carried)")
+    seq.add_argument("--sao", action="store_true",
+                     help="per-frame SAO (spec 8.7.3; closed-loop only)")
+    seq.add_argument("--sao-ctb", action="store_true",
+                     help="CTB-granular RD-selected SAO with merge "
+                          "flags (closed-loop only; excludes --sao)")
+    seq.add_argument("--sao-tile", type=int, default=64,
+                     help="CTB tile size for --sao-ctb (power of two)")
     seq.add_argument("--closed-loop", action="store_true",
                      help="reconstruction-fed wavefront encode "
                           "(stream decodable to pixels)")

@@ -66,6 +66,12 @@ class EncoderConfig:
     # carried in a per-frame SAO NAL.  Output filter like deblock;
     # closed-loop pipeline only.
     sao: bool = False
+    # CTB-granular SAO (the spec's real grain): per-tile parameters
+    # RD-selected with merge-left/up flags (ops/sao_ctb.py), signalled
+    # in a bit-packed CTB-SAO NAL.  Supersedes `sao` when set (the two
+    # are mutually exclusive).  Closed-loop pipeline only.
+    sao_ctb: bool = False
+    sao_tile: int = 64      # CTB tile size in samples (power of two)
 
     def __post_init__(self):
         if self.block_size not in (4, 8, 16, 32):
@@ -78,6 +84,16 @@ class EncoderConfig:
             raise ValueError(f"unknown scan: {self.scan}")
         if self.entropy_coder not in ("range", "cabac"):
             raise ValueError(f"unknown entropy_coder: {self.entropy_coder}")
+        if self.sao and self.sao_ctb:
+            raise ValueError("sao and sao_ctb are mutually exclusive "
+                             "(sao_ctb is the CTB-granular upgrade)")
+        if self.sao_tile & (self.sao_tile - 1) or not (
+            16 <= self.sao_tile <= 256
+        ):
+            raise ValueError(
+                f"sao_tile must be a power of two in [16, 256], got "
+                f"{self.sao_tile}"
+            )
 
     def chroma_block_size(self) -> int:
         """U/V block size: half of luma, floor 4 (parity: __main__.py:156-158)."""

@@ -115,18 +115,27 @@ def encode_sequence(
     from nanohevc_tpu.runtime import entropy
     from nanohevc_tpu.runtime.bitstream import assemble_bitstream
 
-    if (config.deblock or config.sao) and not closed_loop:
+    if (config.deblock or config.sao or config.sao_ctb) and not closed_loop:
         # the signalled filters would make the decoder transform a
         # reconstruction the open-loop encoder never produced — refuse
-        raise ValueError("config.deblock/config.sao require "
-                         "closed_loop=True (in-loop filters on the "
-                         "decodable recon)")
+        raise ValueError("config.deblock/config.sao/config.sao_ctb "
+                         "require closed_loop=True (in-loop filters on "
+                         "the decodable recon)")
 
     if closed_loop:
         import jax
 
         from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
         from nanohevc_tpu.ops.metrics import psnr as _psnr
+
+        if config.rdoq:
+            # same fail-fast contract as encode_frame_closed_loop: the
+            # wavefront quantizer is plain deadzone, so a silent ignore
+            # would misreport what was encoded
+            raise ValueError(
+                "rdoq is not implemented in the closed-loop pipeline; "
+                "encode open-loop (closed_loop=False) for RDOQ"
+            )
 
         def make_cl_fn(is_luma):
             n = config.block_size if is_luma else config.chroma_block_size()
@@ -148,6 +157,8 @@ def encode_sequence(
                     deblock=config.deblock,
                     deblock_chroma=not is_luma,
                     sao=config.sao,
+                    sao_ctb=config.sao_ctb,
+                    sao_tile=config.sao_tile,
                 )
                 out["psnr"] = jax.vmap(_psnr)(planes, out["recon"])
                 return out
@@ -200,6 +211,8 @@ def encode_sequence(
             entropy_idx=_ENTROPY_IDX[config.entropy_coder],
             deblock_flag=int(config.deblock),
             mode_mpm_flag=1,  # per-frame slices code modes with MPM
+            # every frame must then carry its SAO NAL or fail decode
+            sao_flag=int(config.sao or config.sao_ctb),
         )
 
     sw = Stopwatch()
@@ -249,21 +262,31 @@ def encode_sequence(
                 c_levels = np.asarray(c_out["levels"])
                 c_modes = np.asarray(c_out["modes"])
                 psnrs.extend(float(v) for v in np.asarray(y_out["psnr"])[:take])
-                y_sao = c_sao = None
+                y_sao = c_sao = y_ctb = c_ctb = None
                 if config.sao:
                     y_sao = tuple(np.asarray(a) for a in y_out["sao"])
                     c_sao = tuple(np.asarray(a) for a in c_out["sao"])
+                if config.sao_ctb:
+                    y_ctb = tuple(np.asarray(a) for a in y_out["sao_ctb"])
+                    c_ctb = tuple(np.asarray(a) for a in c_out["sao_ctb"])
             batch_bytes = 0
             with sw.time("entropy"):
                 cb = config.chroma_block_size()
                 for i in range(take):
                     aud = entropy.wrap_nal(NAL_AUD, struct.pack("<I", first + i))
-                    sao_i = None
+                    sao_i = sao_ctb_i = None
                     if config.sao:
                         sao_i = {
                             "Y": tuple(a[i] for a in y_sao),
                             "U": tuple(a[i] for a in c_sao),
                             "V": tuple(a[batch + i] for a in c_sao),
+                        }
+                    if config.sao_ctb:
+                        t_ = config.sao_tile
+                        sao_ctb_i = {
+                            "Y": (t_,) + tuple(a[i] for a in y_ctb),
+                            "U": (t_,) + tuple(a[i] for a in c_ctb),
+                            "V": (t_,) + tuple(a[batch + i] for a in c_ctb),
                         }
                     frame_bs = assemble_bitstream(
                         width,
@@ -283,6 +306,7 @@ def encode_sequence(
                         entropy_tiles=entropy_tiles,
                         entropy_coder=config.entropy_coder,
                         sao=sao_i,
+                        sao_ctb=sao_ctb_i,
                     )
                     # assemble_bitstream repeats parameter sets per call;
                     # strip them here (sequence carries one global set)
@@ -407,6 +431,21 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
     with open(output_path, "wb") as out:
         for b0 in range(0, len(frames), batch):
             chunk = frames[b0 : b0 + batch]
+            for fi, fr in enumerate(chunk):
+                p = fr.get("params", {})
+                if p.get("sao_enabled") and not (
+                    p.get("sao") or p.get("sao_ctb")
+                ):
+                    # the global PPS promised per-frame SAO; a frame
+                    # whose SAO NAL was dropped must fail loudly
+                    from nanohevc_tpu.runtime.entropy import (
+                        CorruptBitstreamError,
+                    )
+
+                    raise CorruptBitstreamError(
+                        f"PPS signals SAO but frame {b0 + fi} has no "
+                        "SAO NAL (truncated or corrupted stream)"
+                    )
             # One vmapped dispatch per plane kind per chunk (frames are
             # independent; per-frame slice QP rides the batch) — the
             # frame-by-frame eager decode re-dispatched 3 * n_frames
@@ -435,6 +474,30 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                         np.stack([np.asarray(s[2], np.int32)
                                   for s in filled]),
                     )
+                # CTB-granular SAO maps per frame (tile from the NAL;
+                # all-off maps fill frames without one, e.g. when only
+                # some planes carry CTB params)
+                ctbs = [
+                    fr.get("params", {}).get("sao_ctb", {}).get(name)
+                    for fr in chunk
+                ]
+                sao_ctb_b = None
+                if any(c is not None for c in ctbs):
+                    tile_c = next(c[0] for c in ctbs if c is not None)
+                    shape = next(
+                        np.asarray(c[1]).shape for c in ctbs
+                        if c is not None
+                    )
+                    zero = (tile_c, np.zeros(shape, np.int32),
+                            np.zeros(shape, np.int32),
+                            np.zeros(shape + (4,), np.int32))
+                    fc = [c if c is not None else zero for c in ctbs]
+                    sao_ctb_b = (
+                        tile_c,
+                        np.stack([np.asarray(c[1], np.int32) for c in fc]),
+                        np.stack([np.asarray(c[2], np.int32) for c in fc]),
+                        np.stack([np.asarray(c[3], np.int32) for c in fc]),
+                    )
                 bs = sls[0]["block_size"]
                 if any(s["block_size"] != bs for s in sls):
                     # mixed per-slice block sizes: decode singly
@@ -451,6 +514,9 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                             sao=None if sao_b is None else tuple(
                                 jnp.asarray(a[j]) for a in sao_b
                             ),
+                            sao_ctb=None if sao_ctb_b is None else (
+                                sao_ctb_b[0],
+                            ) + tuple(a[j] for a in sao_ctb_b[1:]),
                         )) for j, s in enumerate(sls)
                     ]
                     continue
@@ -465,6 +531,7 @@ def decode_sequence(bitstream_path: str, output_path: str) -> int:
                     intra_smoothing=smoothing and name == "Y",
                     deblock=deblock, is_chroma=name != "Y",
                     sao=sao_b,
+                    sao_ctb=sao_ctb_b,
                 )
                 planes_out[name] = list(np.asarray(recon).astype(dt))
             for i in range(len(chunk)):

@@ -211,6 +211,8 @@ def encode_planes_closed_loop(
     deblock: bool = False,
     deblock_chroma: bool = False,
     sao: bool = False,
+    sao_ctb: bool = False,
+    sao_tile: int = 64,
     allow_fast: bool | None = None,
     unroll: int = 1,
 ):
@@ -374,6 +376,22 @@ def encode_planes_closed_loop(
             lambda r, a, p_, o: apply_sao(r, a, p_, o, bit_depth)
         )(recon, t, pos, offs)
         out["sao"] = (t, pos, offs)
+    if sao_ctb:
+        # CTB-granular SAO (spec 8.7.3 grain): per-tile RD-selected
+        # parameters with merge candidates, signalled per frame in a
+        # bit-packed CTB-SAO NAL ((B, nty, ntx) maps).
+        if sao:
+            raise ValueError("sao and sao_ctb are mutually exclusive")
+        from nanohevc_tpu.ops.sao_ctb import apply_sao_ctb, estimate_sao_ctb
+
+        tm, bm, om = jax.vmap(
+            lambda s, r: estimate_sao_ctb(s, r, sao_tile, qp, bit_depth)
+        )(src, recon)
+        recon = jax.vmap(
+            lambda r, a, p_, o: apply_sao_ctb(r, a, p_, o, sao_tile,
+                                              bit_depth)
+        )(recon, tm, bm, om)
+        out["sao_ctb"] = (tm, bm, om)
     # crop the conformance-window pad; levels/modes keep the padded
     # block geometry (the decoder re-derives it from the SPS dims)
     out["recon"] = recon[:, :h, :w]
@@ -405,10 +423,19 @@ def encode_frame_closed_loop(frame, config) -> tuple:
     from nanohevc_tpu.frame import Frame
     from nanohevc_tpu.runtime.bitstream import assemble_bitstream
 
+    if config.rdoq:
+        # the closed-loop wavefront quantizes inside the kernel/scan
+        # (plain deadzone); silently ignoring the flag would misreport
+        # what was encoded — fail fast instead (advisor round 3)
+        raise ValueError(
+            "rdoq is not implemented in the closed-loop pipeline; "
+            "use the open-loop full pipeline (encode_frame_full)"
+        )
     recon = Frame.zeros(frame.height, frame.width, dtype=np.int16)
     plane_levels = {}
     plane_modes = {}
     sao_params = {}
+    sao_ctb_params = {}
     for name, src, dst in (
         ("Y", frame.y, recon.y),
         ("U", frame.u, recon.u),
@@ -430,6 +457,8 @@ def encode_frame_closed_loop(frame, config) -> tuple:
             deblock=config.deblock,
             deblock_chroma=not is_luma,
             sao=config.sao,
+            sao_ctb=config.sao_ctb,
+            sao_tile=config.sao_tile,
         )
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)
         plane_levels[name] = (np.asarray(out["levels"]), bs)
@@ -437,6 +466,12 @@ def encode_frame_closed_loop(frame, config) -> tuple:
         if config.sao:
             t, pos, offs = out["sao"]
             sao_params[name] = (int(t), int(pos), np.asarray(offs))
+        if config.sao_ctb:
+            tm, bm, om = out["sao_ctb"]
+            sao_ctb_params[name] = (
+                config.sao_tile, np.asarray(tm), np.asarray(bm),
+                np.asarray(om),
+            )
     bitstream = assemble_bitstream(
         frame.width, frame.height, config.qp, plane_levels, plane_modes,
         bit_depth=config.bit_depth, scan=config.scan,
@@ -445,6 +480,7 @@ def encode_frame_closed_loop(frame, config) -> tuple:
         entropy_coder=config.entropy_coder,
         deblock=config.deblock,
         sao=sao_params if config.sao else None,
+        sao_ctb=sao_ctb_params if config.sao_ctb else None,
     )
     return recon, bitstream
 
@@ -480,7 +516,8 @@ def decode_frame(bitstream: bytes):
     smoothing = params.get("intra_smoothing", False)
     deblock = params.get("deblock", False)
     sao_all = params.get("sao") or {}
-    if params.get("sao_enabled") and not sao_all:
+    sao_ctb_all = params.get("sao_ctb") or {}
+    if params.get("sao_enabled") and not (sao_all or sao_ctb_all):
         # The PPS promised per-frame SAO parameters; a stream that lost
         # its SAO NAL must fail loudly, not decode silently unfiltered.
         from nanohevc_tpu.runtime.entropy import CorruptBitstreamError
@@ -521,6 +558,7 @@ def decode_frame(bitstream: bytes):
             deblock=deblock,
             is_chroma=name != "Y",
             sao=sao_all.get(name),
+            sao_ctb=sao_ctb_all.get(name),
         )
         dst.data[...] = np.asarray(plane).astype(np.int16)
     return recon
@@ -530,27 +568,36 @@ def decode_frame(bitstream: bytes):
 def _decode_planes_jit(n: int, height: int, width: int, use_dst: bool,
                        bit_depth: int, scan: str, dequant_rescale: bool,
                        intra_smoothing: bool, deblock: bool = False,
-                       is_chroma: bool = False, with_sao: bool = False):
+                       is_chroma: bool = False, with_sao: bool = False,
+                       sao_ctb_tile: int = 0):
     """Compiled batched decoder: (B, nb, N*N), (B, nb), (B,) -> (B, H, W).
 
     Frames are independent, so the batch axis vmaps straight over the
     per-frame diagonal scan (per-frame qp included — rate-controlled
     sequences carry a different slice QP per frame).  One compile per
     (geometry, options, batch) serves the whole sequence decode.
+    sao_ctb_tile > 0 decodes with per-frame CTB-SAO maps riding the
+    batch axis (the tile size is static per stream).
     """
     import jax
 
-    def one(levels, modes, qp, sao=None):
+    def one(levels, modes, qp, sao=None, sao_maps=None):
         return decode_plane(
             levels, modes, qp, n=n, height=height, width=width,
             use_dst=use_dst, bit_depth=bit_depth, scan=scan,
             dequant_rescale=dequant_rescale,
             intra_smoothing=intra_smoothing,
             deblock=deblock, is_chroma=is_chroma, sao=sao,
+            sao_ctb=None if sao_maps is None
+            else (sao_ctb_tile,) + tuple(sao_maps),
         )
 
     if with_sao:
-        return jax.jit(jax.vmap(one))
+        return jax.jit(jax.vmap(lambda lv, md, qp, sao: one(lv, md, qp, sao)))
+    if sao_ctb_tile:
+        return jax.jit(jax.vmap(
+            lambda lv, md, qp, maps: one(lv, md, qp, None, maps)
+        ))
     return jax.jit(jax.vmap(lambda levels, modes, qp: one(levels, modes, qp)))
 
 
@@ -570,17 +617,26 @@ def decode_planes(
     deblock: bool = False,
     is_chroma: bool = False,
     sao=None,
+    sao_ctb=None,
 ) -> jnp.ndarray:
     """Batched decode_plane: (B, nb, N*N) levels + (B, nb) modes +
     (B,) per-frame QPs -> (B, H, W) reconstructions, one dispatch.
 
     sao, when present, is a per-frame ((B,) type, (B,) band_pos,
-    (B, 4) offsets) triple riding the batch axis."""
+    (B, 4) offsets) triple riding the batch axis.  sao_ctb is
+    (tile, (B, nty, ntx) type, (B, nty, ntx) band, (B, nty, ntx, 4)
+    offsets) — CTB-granular maps per frame."""
+    if sao is not None and sao_ctb is not None:
+        raise ValueError("pass per-frame sao OR sao_ctb, not both")
     fn = _decode_planes_jit(n, height, width, use_dst, bit_depth, scan,
                             dequant_rescale, intra_smoothing,
-                            deblock, is_chroma, sao is not None)
+                            deblock, is_chroma, sao is not None,
+                            sao_ctb[0] if sao_ctb is not None else 0)
     if sao is not None:
         return fn(levels, modes, qps, tuple(jnp.asarray(a) for a in sao))
+    if sao_ctb is not None:
+        return fn(levels, modes, qps,
+                  tuple(jnp.asarray(a) for a in sao_ctb[1:]))
     return fn(levels, modes, qps)
 
 
@@ -600,6 +656,7 @@ def decode_plane(
     deblock: bool = False,
     is_chroma: bool = False,
     sao=None,
+    sao_ctb=None,
 ) -> jnp.ndarray:
     """Pixel-exact decoder for closed-loop streams.
 
@@ -662,4 +719,15 @@ def decode_plane(
         from nanohevc_tpu.ops.sao import apply_sao
 
         plane = apply_sao(plane, sao[0], sao[1], sao[2], bit_depth)
+    if sao_ctb is not None:
+        # sao_ctb = (tile, type_map, band_map, off_map) from the
+        # CTB-SAO NAL; the encoder applied the same padded-domain
+        # filter, so round trips stay pixel-exact
+        from nanohevc_tpu.ops.sao_ctb import apply_sao_ctb
+
+        tile, tm, bm, om = sao_ctb
+        plane = apply_sao_ctb(
+            plane, jnp.asarray(tm), jnp.asarray(bm), jnp.asarray(om),
+            tile, bit_depth,
+        )
     return plane[:height, :width]

@@ -131,6 +131,7 @@ def assemble_bitstream(
     entropy_coder: str = "range",
     deblock: bool = False,
     sao: Optional[Dict[str, tuple]] = None,
+    sao_ctb: Optional[Dict[str, tuple]] = None,
 ) -> bytes:
     """Build a full frame bitstream.
 
@@ -169,16 +170,23 @@ def assemble_bitstream(
         entropy_idx=_ENTROPY_IDX[entropy_coder],
         deblock_flag=int(deblock),
         mode_mpm_flag=1,  # MPM mode syntax wherever the grid is known
-        sao_flag=int(bool(sao)),  # a stream losing its SAO NAL must
-                                  # fail decode, not decode unfiltered
+        # a stream losing its SAO NAL must fail decode, not decode
+        # unfiltered (covers per-frame and CTB-granular variants)
+        sao_flag=int(bool(sao) or bool(sao_ctb)),
     )
     out = [
         entropy.wrap_nal(entropy.NAL_VPS, entropy.write_params(width, height, first[1], qp, 0, **pk)),
         entropy.wrap_nal(entropy.NAL_SPS, entropy.write_params(width, height, first[1], qp, 1, **pk)),
         entropy.wrap_nal(entropy.NAL_PPS, entropy.write_params(width, height, first[1], qp, 2, **pk)),
     ]
+    if sao and sao_ctb:
+        raise ValueError("pass per-frame sao OR sao_ctb, not both")
     if sao:
         out.append(entropy.wrap_nal(entropy.NAL_SAO, write_sao_params(sao)))
+    if sao_ctb:
+        out.append(entropy.wrap_nal(
+            entropy.NAL_SAO, write_sao_ctb_params(sao_ctb, bit_depth)
+        ))
     plane_ids = {"Y": 0, "U": 1, "V": 2}
     for name, (levels, block_size) in plane_levels.items():
         levels = np.ascontiguousarray(levels, dtype=np.int32)
@@ -224,6 +232,188 @@ def write_sao_params(sao: Dict[str, tuple]) -> bytes:
             "<BBBbbbb", plane_ids[name], int(type_idx), int(band_pos), *o
         ))
     return b"".join(out)
+
+
+class _TileBitWriter:
+    """MSB-first bit packer for the CTB-SAO tile syntax."""
+
+    def __init__(self):
+        self._acc = 0
+        self._n = 0
+        self._out = bytearray()
+
+    def put(self, value: int, width: int) -> None:
+        self._acc = (self._acc << width) | (value & ((1 << width) - 1))
+        self._n += width
+        while self._n >= 8:
+            self._n -= 8
+            self._out.append((self._acc >> self._n) & 0xFF)
+
+    def bytes(self) -> bytes:
+        if self._n:
+            return bytes(self._out) + bytes(
+                [(self._acc << (8 - self._n)) & 0xFF]
+            )
+        return bytes(self._out)
+
+
+class _TileBitReader:
+    """MSB-first reader; raises CorruptBitstreamError on overrun."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+
+    def get(self, width: int) -> int:
+        v = 0
+        for _ in range(width):
+            byte, bit = divmod(self._pos, 8)
+            if byte >= len(self._data):
+                raise entropy.CorruptBitstreamError(
+                    "CTB-SAO payload overran its coded bytes"
+                )
+            v = (v << 1) | ((self._data[byte] >> (7 - bit)) & 1)
+            self._pos += 1
+        return v
+
+
+def _signed(v: int, width: int) -> int:
+    return v - (1 << width) if v >= (1 << (width - 1)) else v
+
+
+def write_sao_ctb_params(
+    sao_ctb: Dict[str, tuple], bit_depth: int = 8
+) -> bytes:
+    """CTB-granular SAO NAL payload: magic "NC" + plane count, then per
+    plane a header (plane_id u8, tile_log2 u8, nty u16, ntx u16,
+    offset-field width u8, payload byte length u32) and the bit-packed
+    tile syntax in raster order:
+
+      merge_left (1 bit, tiles with a left neighbor)
+      merge_up   (1 bit, if not merged and an up neighbor exists)
+      else: type 2 bits (0=off, 1=EO, 2=BO);
+            EO: eo_class 2 bits;  BO: band_pos 5 bits;
+            then 4 offsets, two's complement off_w bits each.
+
+    Merge flags are DERIVED here by exact equality of final neighbor
+    parameters (the decoder copies the neighbor's reconstructed
+    params), so any upstream RD merge decision is automatically
+    consistent.  sao_ctb maps plane name to (tile, type_map (nty,ntx),
+    band_map, off_map (nty,ntx,4)) int arrays.
+    """
+    from nanohevc_tpu.ref.sao import SAO_BO, SAO_OFF
+
+    plane_ids = {"Y": 0, "U": 1, "V": 2}
+    off_w = min(bit_depth, 10) - 4        # 4 bits at 8-bit (cap 7)
+    out = [b"NC", struct.pack("<B", len(sao_ctb))]
+    for name, (tile, tmap, bmap, omap) in sao_ctb.items():
+        tmap = np.asarray(tmap, np.int64)
+        bmap = np.asarray(bmap, np.int64)
+        omap = np.asarray(omap, np.int64)
+        nty, ntx = tmap.shape
+        if tile & (tile - 1) or not 8 <= tile <= 256:
+            raise ValueError(f"sao tile must be a power of two: {tile}")
+
+        def params(ty, tx):
+            return (
+                int(tmap[ty, tx]), int(bmap[ty, tx]),
+                tuple(int(v) for v in omap[ty, tx]),
+            )
+
+        bw = _TileBitWriter()
+        for ty in range(nty):
+            for tx in range(ntx):
+                cur = params(ty, tx)
+                if tx > 0:
+                    if cur == params(ty, tx - 1):
+                        bw.put(1, 1)
+                        continue
+                    bw.put(0, 1)
+                if ty > 0:
+                    if cur == params(ty - 1, tx):
+                        bw.put(1, 1)
+                        continue
+                    bw.put(0, 1)
+                t, pos, offs = cur
+                if t == SAO_OFF:
+                    bw.put(0, 2)
+                    continue
+                if t == SAO_BO:
+                    bw.put(2, 2)
+                    bw.put(pos, 5)
+                else:                      # EO classes 1-4
+                    bw.put(1, 2)
+                    bw.put(t - 1, 2)
+                for o in offs:
+                    bw.put(o, off_w)
+        payload = bw.bytes()
+        out.append(struct.pack(
+            "<BBHHBI", plane_ids[name], tile.bit_length() - 1,
+            nty, ntx, off_w, len(payload),
+        ))
+        out.append(payload)
+    return b"".join(out)
+
+
+def parse_sao_ctb_params(payload: bytes) -> Dict[str, tuple]:
+    """Inverse of write_sao_ctb_params, defensive against corruption."""
+    from nanohevc_tpu.ref.sao import SAO_BO, SAO_EO0, SAO_OFF
+
+    names = {0: "Y", 1: "U", 2: "V"}
+    if len(payload) < 3 or payload[:2] != b"NC":
+        raise entropy.CorruptBitstreamError("bad CTB-SAO NAL magic")
+    count = payload[2]
+    if count > 3:
+        raise entropy.CorruptBitstreamError(
+            f"corrupt CTB-SAO NAL: plane count {count}"
+        )
+    pos = 3
+    sao: Dict[str, tuple] = {}
+    for _ in range(count):
+        if pos + 11 > len(payload):
+            raise entropy.CorruptBitstreamError("truncated CTB-SAO header")
+        pid, tile_log2, nty, ntx, off_w, nbytes = struct.unpack_from(
+            "<BBHHBI", payload, pos
+        )
+        pos += 11
+        if (pid > 2 or not 3 <= tile_log2 <= 8 or not 1 <= off_w <= 8
+                or nty == 0 or ntx == 0 or nty * ntx > 1 << 20):
+            raise entropy.CorruptBitstreamError(
+                f"corrupt CTB-SAO header: plane={pid} tile_log2={tile_log2}"
+            )
+        br = _TileBitReader(payload[pos : pos + nbytes])
+        pos += nbytes
+        tmap = np.zeros((nty, ntx), np.int32)
+        bmap = np.zeros((nty, ntx), np.int32)
+        omap = np.zeros((nty, ntx, 4), np.int32)
+        for ty in range(nty):
+            for tx in range(ntx):
+                if tx > 0 and br.get(1):
+                    tmap[ty, tx] = tmap[ty, tx - 1]
+                    bmap[ty, tx] = bmap[ty, tx - 1]
+                    omap[ty, tx] = omap[ty, tx - 1]
+                    continue
+                if ty > 0 and br.get(1):
+                    tmap[ty, tx] = tmap[ty - 1, tx]
+                    bmap[ty, tx] = bmap[ty - 1, tx]
+                    omap[ty, tx] = omap[ty - 1, tx]
+                    continue
+                code = br.get(2)
+                if code == 0:
+                    continue
+                if code == 3:
+                    raise entropy.CorruptBitstreamError(
+                        "corrupt CTB-SAO tile: reserved type code 3"
+                    )
+                if code == 2:
+                    tmap[ty, tx] = SAO_BO
+                    bmap[ty, tx] = br.get(5)
+                else:
+                    tmap[ty, tx] = SAO_EO0 + br.get(2)
+                for k in range(4):
+                    omap[ty, tx, k] = _signed(br.get(off_w), off_w)
+        sao[names[pid]] = (1 << tile_log2, tmap, bmap, omap)
+    return sao
 
 
 def parse_sao_params(payload: bytes) -> Dict[str, tuple]:
@@ -389,7 +579,16 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
             planes.setdefault("params", {}).update(parse_params(payload))
             continue
         if nal_type == entropy.NAL_SAO:
-            planes.setdefault("params", {})["sao"] = parse_sao_params(payload)
+            # one NAL slot, two formats: "NS" per-frame params, "NC"
+            # CTB-granular tile maps (magic-dispatched)
+            if payload[:2] == b"NC":
+                planes.setdefault("params", {})["sao_ctb"] = (
+                    parse_sao_ctb_params(payload)
+                )
+            else:
+                planes.setdefault("params", {})["sao"] = (
+                    parse_sao_params(payload)
+                )
             continue
         if nal_type != entropy.NAL_SLICE:
             continue

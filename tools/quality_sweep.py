@@ -149,9 +149,49 @@ def sao_table() -> None:
               f"{row_p[1]:.3f} dB | {row_p[1] - row_p[0]:+.3f} |")
 
 
+def mixed_content(h: int = 192, w: int = 256) -> np.ndarray:
+    """Four regions with different artifact profiles (banding, edges,
+    texture, flat+noise) — the content class where per-CTB SAO
+    adaptation beats one parameter set per frame."""
+    rng = np.random.default_rng(21)
+    yy, xx = np.mgrid[0:h, 0:w]
+    q = np.zeros((h, w))
+    h2, w2 = h // 2, w // 2
+    q[:h2, :w2] = 40 + (xx[:h2, :w2] // 10) * 8            # banding
+    q[:h2, w2:] = np.where((xx[:h2, w2:] // 16) % 2, 50, 200)  # edges
+    q[h2:, :w2] = 128 + 35 * np.sin(xx[h2:, :w2] / 5.0) * \
+        np.cos(yy[h2:, :w2] / 7.0)                          # texture
+    q[h2:, w2:] = 100 + rng.normal(0, 12, (h - h2, w - w2))  # noise
+    return q.clip(0, 255).astype(np.uint8)
+
+
+def sao_ctb_table() -> None:
+    """Per-frame vs CTB-granular SAO on mixed content (verdict #4)."""
+    y = mixed_content()
+    f = frame_of(y)
+    print("| qp | mode | bpp | PSNR-Y (dB) | delta vs off |")
+    print("|---|---|---|---|---|")
+    for qp in (32, 40, 47):
+        base_p = None
+        for mode in ("off", "frame", "ctb"):
+            cfg = EncoderConfig(
+                block_size=8, qp=qp, dequant_rescale=True,
+                mode_set="all", decision="satd", deblock=True,
+                sao=mode == "frame", sao_ctb=mode == "ctb", sao_tile=32,
+            )
+            recon, bs = encode_frame_closed_loop(f, cfg)
+            p = psnr_y(recon.y.data, y)
+            if base_p is None:
+                base_p = p
+            print(f"| {qp} | {mode} | {8 * len(bs) / y.size:.4f} | "
+                  f"{p:.3f} | {p - base_p:+.3f} |")
+
+
 if __name__ == "__main__":
     closed_loop_tables()
     print()
     rd_decision_table()
     print()
     sao_table()
+    print()
+    sao_ctb_table()
