@@ -139,6 +139,20 @@ def rdoq_levels(
 
     Returns (nb, ncoef) int32 adjusted levels; never increases the
     stage-B candidate-set model cost vs keeping the stage-A levels.
+
+    Rate model: the static calibrated table (ops/rate.default_table)
+    is INTENTIONAL here even when the downstream rdo_cbf decision uses
+    model_bits_adaptive.  This stage needs position-SEPARABLE per-
+    coefficient prices (stage A compares l vs l-1 per position; stage
+    B's prefix/suffix cumsums assume additive costs), which only the
+    static table provides — the adaptive model's price for one
+    coefficient depends on the running context state across the whole
+    preceding block sequence and cannot be decomposed per position
+    without serializing the sweep.  The two stages still share one
+    lambda and one distortion scale, so their decisions compose; the
+    table is calibrated against the same shipped coder the adaptive
+    model tracks (tools/calibrate_rates.py), keeping the absolute
+    scales within a few percent.
     """
     ncoef = packed_levels.shape[-1]
     if table is None:

@@ -118,19 +118,27 @@ class TestRdoqPipeline:
         assert p0 - p1 < 0.8
 
     def test_levels_match_packed_and_recon_consistent(self):
-        """Adjusted levels drive recon: decode-side dequant of the
-        packed levels must reproduce the encoder's reconstruction."""
+        """Adjusted levels drive recon: the packed levels plus an
+        INDEPENDENTLY recomputed prediction (open-loop predictions are
+        a pure function of source refs + decided modes) must rebuild
+        the encoder's reconstruction exactly — pinning that RDOQ's
+        re-decided levels are the ones the recon actually used."""
+        from nanohevc_tpu.ops.intra import predict_by_mode_mm
+
         plane = jnp.asarray(_natural_plane(64, 64, seed=5))
         o = encode_plane_full(plane, 14, n=8, mode_set="all",
                               decision="satd", rdoq=True)
         lev = ops.scan_unpack(jnp.asarray(o["levels"]), "diag")
         deq = ops.dequantize(lev, 14, 8)
         rec_res = ops.inverse_transform(deq, False)
-        # recon == clip(pred + idct(deq(levels))): reconstruct pred
-        recon_blocks = ops.tile_plane(jnp.asarray(o["recon"]), 8)
-        pred = recon_blocks - rec_res  # implied prediction
+        # independent prediction from source refs + coded modes (not
+        # derived from recon, which would make the check a tautology)
+        refs = ops.extract_refs(plane.astype(jnp.int32), 8, boundary=128)
+        pred = predict_by_mode_mm(refs, 8, jnp.asarray(o["modes"]))
         rebuilt = jnp.clip(pred + rec_res, 0, 255)
+        recon_blocks = ops.tile_plane(jnp.asarray(o["recon"]), 8)
         assert np.array_equal(np.asarray(rebuilt), np.asarray(recon_blocks))
+        assert int(jnp.abs(rec_res).sum()) > 0   # nontrivial residual
 
     def test_bitstream_roundtrip_with_rdoq(self):
         from nanohevc_tpu.runtime import assemble_bitstream, parse_bitstream
@@ -157,3 +165,27 @@ class TestRdoqPipeline:
         cfg = EncoderConfig(qp=18, mode_set="all", decision="satd", rdoq=True)
         recon, info = encode_frame_full(frame, cfg)
         assert info["psnr_y"] > 20.0
+
+
+class TestClosedLoopGuard:
+    def test_closed_loop_frame_rejects_rdoq(self):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.all_intra import create_test_frame
+        from nanohevc_tpu.models.wavefront import encode_frame_closed_loop
+
+        with pytest.raises(ValueError, match="rdoq"):
+            encode_frame_closed_loop(
+                create_test_frame(16, 16), EncoderConfig(qp=22, rdoq=True)
+            )
+
+    def test_closed_loop_sequence_rejects_rdoq(self, tmp_path):
+        from nanohevc_tpu.config import EncoderConfig
+        from nanohevc_tpu.models.sequence import encode_sequence
+
+        raw = tmp_path / "in.yuv"
+        raw.write_bytes(b"\x80" * (16 * 16 * 3 // 2))
+        with pytest.raises(ValueError, match="rdoq"):
+            encode_sequence(
+                str(raw), 16, 16, 1, EncoderConfig(qp=22, rdoq=True),
+                str(tmp_path / "o.bin"), closed_loop=True,
+            )
