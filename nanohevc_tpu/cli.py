@@ -374,7 +374,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     enc.add_argument(
         "--entropy",
-        choices=("range", "cabac"),
+        choices=("range", "cabac", "hevc-slice"),
         default="range",
         help="slice entropy engine: framework range coder (default) or "
         "the spec 9.3 CABAC with 7.3.8.11 residual_coding syntax",
@@ -484,7 +484,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     seq.add_argument(
         "--entropy",
-        choices=("range", "cabac"),
+        choices=("range", "cabac", "hevc-slice"),
         default="range",
         help="slice entropy engine (see encode --entropy)",
     )

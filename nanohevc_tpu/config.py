@@ -53,8 +53,13 @@ class EncoderConfig:
     # correct gain (better recon quality), False keeps bit parity.
     dequant_rescale: bool = False
     # Entropy engine for slice level payloads: "range" (framework
-    # adaptive binary range coder, tiled/threaded) or "cabac" (spec
-    # 9.3 arithmetic engine with 7.3.8.11 residual_coding syntax).
+    # adaptive binary range coder, tiled/threaded), "cabac" (spec 9.3
+    # arithmetic engine with 7.3.8.11 residual_coding syntax), or
+    # "hevc-slice" (the full spec-syntax slice: 7.3.6.1
+    # slice_segment_header + fixed-depth 7.3.8.4 coding_quadtree with
+    # the 8.4.2.2 MPM intra-mode syntax coded in-CTU and the 7.4.9.11
+    # mode-derived scanIdx — modes ride inside the slice, no separate
+    # mode payload).
     entropy_coder: str = "range"
     # In-loop deblocking filter (spec 8.7.2, all-intra bS=2) applied
     # to the output reconstruction; intra prediction stays unfiltered
@@ -82,7 +87,7 @@ class EncoderConfig:
             raise ValueError(f"unknown decision: {self.decision}")
         if self.scan not in ("diag", "horizontal", "vertical", "mode"):
             raise ValueError(f"unknown scan: {self.scan}")
-        if self.entropy_coder not in ("range", "cabac"):
+        if self.entropy_coder not in ("range", "cabac", "hevc-slice"):
             raise ValueError(f"unknown entropy_coder: {self.entropy_coder}")
         if self.sao and self.sao_ctb:
             raise ValueError("sao and sao_ctb are mutually exclusive "

@@ -39,7 +39,7 @@ FORMAT_VERSION = 2
 
 _SCAN_IDX = {"diag": 0, "horizontal": 1, "vertical": 2, "mode": 3}
 _SCAN_NAME = {v: k for k, v in _SCAN_IDX.items()}
-_ENTROPY_IDX = {"range": 0, "cabac": 1}
+_ENTROPY_IDX = {"range": 0, "cabac": 1, "hevc-slice": 2}
 _ENTROPY_NAME = {v: k for k, v in _ENTROPY_IDX.items()}
 
 
@@ -210,6 +210,27 @@ def assemble_bitstream(
             payload = hevc.encode_plane_cabac(
                 raster, sel, c_idx=0 if name == "Y" else 1, qp=qp
             )
+        elif entropy_coder == "hevc-slice":
+            # full spec-syntax slice: modes ride IN the CTU structure
+            # (8.4.2.2 MPM syntax), so no separate mode payload exists
+            from nanohevc_tpu.runtime import hevc
+
+            if modes is None:
+                raise ValueError(
+                    "entropy_coder='hevc-slice' needs per-block modes "
+                    f"for every plane; missing for {name}"
+                )
+            grid = _mode_grid(nb, width, height, block_size,
+                              plane_ids[name])
+            if grid is None:
+                raise ValueError(
+                    "entropy_coder='hevc-slice' needs the block grid; "
+                    f"nb={nb} does not tile the SPS geometry for {name}"
+                )
+            sel = _slice_scan_sel(scan, modes, nb, block_size)
+            raster = _np_unpack(levels, sel, block_size)
+            payload = hevc.encode_slice_hevc(raster, modes, *grid, qp=qp)
+            mpay = b""
         else:
             payload = entropy.encode_levels(levels, tiles=entropy_tiles)
         header = struct.pack(
@@ -643,7 +664,8 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
                     payload[off : off + mlen], nb, 1
                 )[:, 0]
             off += mlen
-        if _ENTROPY_NAME.get(params.get("entropy_idx", 0)) == "cabac":
+        ent_name = _ENTROPY_NAME.get(params.get("entropy_idx", 0))
+        if ent_name == "cabac":
             from nanohevc_tpu.runtime import hevc
 
             scan = _SCAN_NAME.get(params.get("scan_idx", 0), "diag")
@@ -657,6 +679,30 @@ def parse_bitstream(data: bytes) -> Dict[str, dict]:
                 payload[off : off + plen], nb, block_size, sel,
                 c_idx=0 if plane_id == 0 else 1, qp=qp,
             )
+            levels = _np_pack(raster, sel)
+        elif ent_name == "hevc-slice":
+            from nanohevc_tpu.runtime import hevc
+
+            if "width" not in params:
+                raise entropy.CorruptBitstreamError(
+                    "hevc-slice stream is missing its SPS geometry"
+                )
+            grid = _mode_grid(nb, params["width"], params["height"],
+                              block_size, plane_id)
+            if grid is None:
+                raise entropy.CorruptBitstreamError(
+                    f"hevc-slice: nb={nb} does not tile the SPS geometry"
+                )
+            raster, modes, slice_qp = hevc.decode_slice_hevc(
+                payload[off : off + plen], *grid, block_size
+            )
+            if slice_qp != qp:
+                raise entropy.CorruptBitstreamError(
+                    f"slice_qp_delta gives QP {slice_qp} but the slice "
+                    f"header says {qp} (corrupted stream)"
+                )
+            scan = _SCAN_NAME.get(params.get("scan_idx", 0), "diag")
+            sel = _slice_scan_sel(scan, modes, nb, block_size)
             levels = _np_pack(raster, sel)
         else:
             levels = entropy.decode_levels(

@@ -59,6 +59,18 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.nhc_encode_slice.restype = ctypes.c_int64
+    lib.nhc_encode_slice.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.nhc_decode_slice.restype = ctypes.c_int32
+    lib.nhc_decode_slice.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     return lib
 
 
@@ -131,3 +143,79 @@ def decode_plane_cabac(
             f"corrupt CABAC payload: {reasons.get(rc, rc)}"
         )
     return out.reshape(nb, n, n)
+
+
+def encode_slice_hevc(
+    levels: np.ndarray, modes: np.ndarray, nby: int, nbx: int, *,
+    qp: int = 22
+) -> bytes:
+    """Spec-syntax slice payload (7.3.6.1 header + fixed-depth quadtree
+    slice data; hevc_cabac.cpp slice-layer section).
+
+    levels: (nby*nbx, N, N) raster-layout int32 (CU raster order);
+    modes: (nby*nbx,) intra modes 0-34, coded in-CTU with the spec
+    8.4.2.2 MPM syntax — no separate mode payload exists at this
+    entropy level.  scanIdx is derived from each CU's coded mode per
+    spec 7.4.9.11 (callers do not choose a scan).
+    """
+    levels = np.ascontiguousarray(levels, dtype=np.int32)
+    nb, n, n2 = levels.shape
+    if n != n2 or n not in (4, 8, 16, 32):
+        raise ValueError(f"levels must be (nb, N, N), N in 4/8/16/32: "
+                         f"{levels.shape}")
+    if nb != nby * nbx:
+        raise ValueError(f"levels nb={nb} != grid {nby}x{nbx}")
+    modes = np.ascontiguousarray(modes, dtype=np.int32).reshape(-1)
+    if modes.size != nb:
+        raise ValueError(f"modes size {modes.size} != nb {nb}")
+    lg2 = n.bit_length() - 1
+    cap = levels.size * 4 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    r = _lib().nhc_encode_slice(
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        modes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nby, nbx, lg2, int(qp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if r == -2:
+        raise ValueError("bad slice args (mode out of range 0-34?)")
+    if r < 0:
+        raise RuntimeError(f"slice encoder failed: rc={r}")
+    return out[:r].tobytes()
+
+
+def decode_slice_hevc(
+    data: bytes, nby: int, nbx: int, n: int
+) -> tuple:
+    """Inverse of encode_slice_hevc -> (levels (nb, N, N) raster,
+    modes (nb,), slice_qp).
+
+    Raises CorruptBitstreamError when the header or CABAC payload does
+    not parse (terminate bins delimit each CTU)."""
+    if n not in (4, 8, 16, 32):
+        raise ValueError(f"bad block size {n}")
+    lg2 = n.bit_length() - 1
+    buf = np.ascontiguousarray(np.frombuffer(data, dtype=np.uint8))
+    nb = nby * nbx
+    levels = np.zeros((nb, n * n), dtype=np.int32)
+    modes = np.zeros(nb, dtype=np.int32)
+    qp_out = np.zeros(1, dtype=np.int32)
+    rc = _lib().nhc_decode_slice(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        nby, nbx, lg2,
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        modes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        qp_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        reasons = {
+            2: "bad geometry or last-significant position out of range",
+            3: "decoder overran the coded bytes",
+            4: "end_of_slice terminate mismatch",
+            5: "invalid syntax (split/part_mode/mode out of model)",
+            6: "slice_segment_header failed to parse",
+        }
+        raise CorruptBitstreamError(
+            f"corrupt spec-slice payload: {reasons.get(rc, rc)}"
+        )
+    return levels.reshape(nb, n, n), modes, int(qp_out[0])

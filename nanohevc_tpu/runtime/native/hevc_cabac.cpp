@@ -10,18 +10,26 @@
 // Rice-parameter adaptation).  The reference project declares this as
 // roadmap (reference README.md:97-100, "cabac.py") and never ships it.
 //
-// Scope: transform-block payloads.  Each block is treated as one CTU
-// of its size: cbf flag, then residual_coding, then the
-// end_of_slice_segment_flag terminate bin (1 after the last block).
-// The surrounding NAL/slice wrapping stays framework-defined (our
-// SPS/PPS carry geometry), so streams are engine- and syntax-level
-// conformant at the residual layer; a full CTU quadtree is not
-// emitted.  Decoding is a bit-exact mirror; round-trip and rate are
-// asserted in tests/test_hevc_cabac.py.
+// Two entry levels:
+//   nhc_encode_plane/nhc_decode_plane — transform-block payloads: each
+//   block is one cbf + residual_coding + terminate.  Streams are
+//   engine- and syntax-conformant at the residual layer.
+//   nhc_encode_slice/nhc_decode_slice — the FULL spec-syntax slice:
+//   slice_segment_header (7.3.6.1), fixed-depth coding_quadtree
+//   (7.3.8.4), coding_unit with the 8.4.2.2 MPM intra-mode syntax
+//   (7.3.8.5), transform_unit cbf, residual_coding with the 7.4.9.11
+//   mode-derived scanIdx, end_of_slice_segment_flag per CTU.  See the
+//   slice-layer section below.  SPS/PPS framing stays
+//   framework-defined in both cases.
+// Decoding is a bit-exact mirror; round-trip and rate are asserted in
+// tests/test_hevc_cabac.py and tests/test_hevc_slice.py (the latter
+// against an independent pure-Python spec parser).
 //
 // Exposed C ABI (ctypes):
-//   nhc_encode_plane(coeffs, nb, log2, c_idx, scan_idx[nb], out, cap)
-//   nhc_decode_plane(data, nbytes, nb, log2, c_idx, scan_idx[nb], out)
+//   nhc_encode_plane(coeffs, nb, log2, c_idx, scan_idx[nb], qp, out, cap)
+//   nhc_decode_plane(data, nbytes, nb, log2, c_idx, scan_idx[nb], qp, out)
+//   nhc_encode_slice(coeffs, modes, nby, nbx, log2, qp, out, cap)
+//   nhc_decode_slice(data, nbytes, nby, nbx, log2, coeffs, modes, qp_out)
 //   nhc_version()
 
 #include <cstdint>
@@ -819,6 +827,233 @@ int residual_decode(CabacDecoder& dec, ResidualCtxs& rc, int32_t* coeffs,
   return dec.overrun() ? 3 : 0;
 }
 
+// ---------------------------------------------------------------------------
+// Spec-syntax slice layer (7.3.6.1 slice_segment_header + 7.3.8.4
+// coding_quadtree + 7.3.8.5 coding_unit + 7.3.8.8/7.3.8.10 transform
+// tree/unit around the residual_coding above).
+//
+// Model: one monochrome (chroma_format_idc = 0, spec 4:0:0) IDR_W_RADL
+// slice per plane.  The virtual SPS/PPS the header references has
+// every optional tool off (no SAO syntax, no cu_qp_delta, no sign
+// hiding, no transform split below the CU) and
+//   CtbLog2SizeY  = lg2 + 1      (CTB = 2N x 2N)
+//   MinCbLog2SizeY = MaxTbLog2 = lg2
+// so the coding_quadtree has exactly one level: every in-picture CTB
+// codes split_cu_flag = 1 (its spec 9.3.4.2.2 neighbor-depth context),
+// partial CTBs split implicitly (the flag is absent when the CU
+// overflows the picture, the spec rule), and each quadrant is one
+// coding_unit of the framework's block size.  Every CU then codes
+//   part_mode              (1 ctx bin, PART_2Nx2N; coded because
+//                           log2CbSize == MinCbLog2SizeY)
+//   prev_intra_luma_pred_flag + mpm_idx / rem_intra_luma_pred_mode
+//                          (spec 8.4.2.2 candModeList from the left/
+//                           above CUs, above forced DC across CTB rows;
+//                           mpm_idx and rem are BYPASS bins per spec)
+//   cbf_luma               (ctxInc 1: trafoDepth == 0)
+//   residual_coding        (7.3.8.11 above) with scanIdx derived from
+//                          the coded intra mode per 7.4.9.11
+// and terminates with end_of_slice_segment_flag per CTU.  This closes
+// the "full CTU quadtree is not emitted" scope note at the top of this
+// file; SPS/PPS framing stays framework-defined.
+// ---------------------------------------------------------------------------
+
+// initValues, initType 0 (I slices): split_cu_flag Table 9-19,
+// part_mode / prev_intra_luma_pred_flag Tables 9-20/9-21, cbf_luma
+// pair (ctxInc 0/1) Table 9-23.
+const uint8_t kInitSplitCu[3] = {139, 141, 157};
+const uint8_t kInitPartMode = 184;
+const uint8_t kInitPrevIntra = 184;
+const uint8_t kInitCbfLumaPair[2] = {111, 141};
+
+struct SliceCtxs {
+  Ctx split_cu[3];
+  Ctx part_mode;
+  Ctx prev_intra;
+  Ctx cbf_luma[2];
+  ResidualCtxs res;
+
+  void init(int qp) {
+    for (int i = 0; i < 3; ++i) split_cu[i].init(kInitSplitCu[i], qp);
+    part_mode.init(kInitPartMode, qp);
+    prev_intra.init(kInitPrevIntra, qp);
+    for (int i = 0; i < 2; ++i) cbf_luma[i].init(kInitCbfLumaPair[i], qp);
+    res.init(qp);
+  }
+};
+
+// candModeList per spec 8.4.2.2 (same algebra as the framework mode
+// coder in nanohevc_runtime.cpp, kept local to this translation unit).
+inline void slice_mpm_list(int32_t a, int32_t b, int32_t* m) {
+  if (a == b) {
+    if (a < 2) {
+      m[0] = 0; m[1] = 1; m[2] = 26;
+    } else {
+      m[0] = a;
+      m[1] = 2 + ((a + 29) % 32);
+      m[2] = 2 + ((a - 2 + 1) % 32);
+    }
+  } else {
+    m[0] = a; m[1] = b;
+    if (a != 0 && b != 0) m[2] = 0;
+    else m[2] = (a + b) < 2 ? 26 : 1;
+  }
+}
+
+inline void sort3i(int32_t* s) {
+  if (s[0] > s[1]) std::swap(s[0], s[1]);
+  if (s[1] > s[2]) std::swap(s[1], s[2]);
+  if (s[0] > s[1]) std::swap(s[0], s[1]);
+}
+
+// scanIdx per spec 7.4.9.11: mode-dependent at 4x4/8x8 intra.
+inline int spec_scan_idx(int lg2, int mode) {
+  if (lg2 != 2 && lg2 != 3) return 0;
+  if (mode >= 6 && mode <= 14) return 2;    // near-horizontal -> vertical
+  if (mode >= 22 && mode <= 30) return 1;   // near-vertical -> horizontal
+  return 0;
+}
+
+// Plain MSB-first bit IO for the slice_segment_header (the CABAC
+// payload starts byte-aligned right after byte_alignment()).
+struct HdrWriter {
+  std::vector<uint8_t>* out;
+  int nbits = 0;
+  void put(uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; --i) {
+      if ((nbits & 7) == 0) out->push_back(0);
+      out->back() |= static_cast<uint8_t>(((v >> i) & 1) << (7 - (nbits & 7)));
+      ++nbits;
+    }
+  }
+  void ue(uint32_t v) {
+    uint32_t vp1 = v + 1;
+    int len = 0;
+    for (uint32_t t = vp1; t > 1; t >>= 1) ++len;
+    put(0, len);
+    put(vp1, len + 1);
+  }
+  void se(int32_t v) {
+    ue(v <= 0 ? static_cast<uint32_t>(-2 * v) : static_cast<uint32_t>(2 * v - 1));
+  }
+  void byte_align() {           // byte_alignment(): 1 then zeros
+    put(1, 1);
+    while (nbits & 7) put(0, 1);
+  }
+};
+
+struct HdrReader {
+  const uint8_t* data;
+  size_t nbytes;
+  size_t pos = 0;               // bit position
+  bool fail = false;
+  uint32_t bit() {
+    if ((pos >> 3) >= nbytes) { fail = true; return 0; }
+    uint32_t b = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
+    ++pos;
+    return b;
+  }
+  uint32_t bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | bit();
+    return v;
+  }
+  uint32_t ue() {
+    int zeros = 0;
+    while (!fail && bit() == 0) {
+      if (++zeros > 32) { fail = true; return 0; }
+    }
+    uint32_t v = 1;
+    for (int i = 0; i < zeros; ++i) v = (v << 1) | bit();
+    return v - 1;
+  }
+  int32_t se() {
+    uint32_t u = ue();
+    return (u & 1) ? static_cast<int32_t>((u + 1) >> 1)
+                   : -static_cast<int32_t>(u >> 1);
+  }
+  bool byte_align() {
+    if (bit() != 1) return false;
+    while (pos & 7)
+      if (bit() != 0) return false;
+    return !fail;
+  }
+};
+
+// One coding_unit: intra mode syntax + transform_unit.  modes/coeffs
+// indexed on the (nby, nbx) CU grid in raster order.
+void encode_cu(CabacEncoder& enc, SliceCtxs& cx, const int32_t* coeffs,
+               const int32_t* modes, int64_t nbx, int64_t cy, int64_t cx_,
+               int lg2, int ncoef) {
+  int64_t i = cy * nbx + cx_;
+  int32_t mode = modes[i];
+  // part_mode: log2CbSize == MinCbLog2SizeY -> coded; PART_2Nx2N = 1
+  enc.encode(cx.part_mode, 1);
+  // prev_intra_luma_pred_flag + mpm_idx / rem (8.4.2.2): left CU in
+  // the same picture; above CU additionally forced DC across CTB rows
+  // (yNbB must be inside the current CTB, spec 8.4.2.2 availability).
+  int32_t a = cx_ > 0 ? modes[i - 1] : 1;
+  int32_t b = (cy > 0 && (cy & 1)) ? modes[i - nbx] : 1;  // CTB = 2 CU rows
+  int32_t m[3];
+  slice_mpm_list(a, b, m);
+  int idx = mode == m[0] ? 0 : mode == m[1] ? 1 : mode == m[2] ? 2 : -1;
+  enc.encode(cx.prev_intra, idx >= 0);
+  if (idx >= 0) {
+    enc.bypass(idx > 0);                         // mpm_idx: TU, bypass
+    if (idx > 0) enc.bypass(idx - 1);
+  } else {
+    int32_t s[3] = {m[0], m[1], m[2]};
+    sort3i(s);
+    int32_t rem = mode;
+    for (int k = 2; k >= 0; --k)
+      if (mode > s[k]) --rem;
+    enc.bypass_bits(static_cast<uint32_t>(rem), 5);
+  }
+  // transform_tree at depth 0 (no split: MaxTbLog2 == log2CbSize):
+  // cbf_luma ctxInc 1, then residual_coding with the spec scanIdx.
+  const int32_t* blk = coeffs + i * ncoef;
+  int any = 0;
+  for (int k = 0; k < ncoef; ++k)
+    if (blk[k]) { any = 1; break; }
+  enc.encode(cx.cbf_luma[1], any);
+  if (any)
+    residual_encode(enc, cx.res, blk, lg2, 0, spec_scan_idx(lg2, mode));
+}
+
+int decode_cu(CabacDecoder& dec, SliceCtxs& cx, int32_t* coeffs,
+              int32_t* modes, int64_t nbx, int64_t cy, int64_t cx_,
+              int lg2, int ncoef) {
+  int64_t i = cy * nbx + cx_;
+  if (!dec.decode(cx.part_mode)) return 5;      // only PART_2Nx2N valid
+  int32_t a = cx_ > 0 ? modes[i - 1] : 1;
+  int32_t b = (cy > 0 && (cy & 1)) ? modes[i - nbx] : 1;
+  int32_t m[3];
+  slice_mpm_list(a, b, m);
+  int32_t mode;
+  if (dec.decode(cx.prev_intra)) {
+    int idx = 0;
+    if (dec.bypass()) idx = 1 + dec.bypass();
+    mode = m[idx];
+  } else {
+    int32_t rem = static_cast<int32_t>(dec.bypass_bits(5));
+    int32_t s[3] = {m[0], m[1], m[2]};
+    sort3i(s);
+    mode = rem;
+    for (int k = 0; k < 3; ++k)
+      if (mode >= s[k]) ++mode;
+    if (mode > 34) return 5;
+  }
+  modes[i] = mode;
+  int32_t* blk = coeffs + i * ncoef;
+  if (dec.decode(cx.cbf_luma[1])) {
+    int rcio = residual_decode(dec, cx.res, blk, lg2, 0,
+                               spec_scan_idx(lg2, mode));
+    if (rcio) return rcio;
+  } else {
+    std::memset(blk, 0, sizeof(int32_t) * ncoef);
+  }
+  return 0;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -826,6 +1061,109 @@ int residual_decode(CabacDecoder& dec, ResidualCtxs& rc, int32_t* coeffs,
 // ---------------------------------------------------------------------------
 
 extern "C" {
+
+// Spec-syntax slice: slice_segment_header + fixed-depth quadtree
+// slice_segment_data over an (nby, nbx) grid of N x N CUs (N = 1<<lg2,
+// CTB = 2N).  coeffs: raster-in-block, block raster order; modes: one
+// intra mode per CU.  qp seeds contexts and is written as
+// slice_qp_delta against a PPS init QP of 26.  Returns payload bytes
+// or -1 (cap) / -2 (bad args).
+int64_t nhc_encode_slice(const int32_t* coeffs, const int32_t* modes,
+                         int64_t nby, int64_t nbx, int32_t lg2, int32_t qp,
+                         uint8_t* out, int64_t cap) {
+  if (lg2 < 2 || lg2 > 5 || nby <= 0 || nbx <= 0) return -2;
+  for (int64_t i = 0; i < nby * nbx; ++i)
+    if (modes[i] < 0 || modes[i] > 34) return -2;
+  int ncoef = (1 << lg2) * (1 << lg2);
+  std::vector<uint8_t> buf;
+  buf.reserve(static_cast<size_t>(nby) * nbx * 8 + 64);
+
+  // slice_segment_header (7.3.6.1, IDR_W_RADL, everything optional off)
+  HdrWriter hw{&buf};
+  hw.put(1, 1);                 // first_slice_segment_in_pic_flag
+  hw.put(0, 1);                 // no_output_of_prior_pics_flag
+  hw.ue(0);                     // slice_pic_parameter_set_id
+  hw.ue(2);                     // slice_type = I
+  hw.se(qp - 26);               // slice_qp_delta (PPS init_qp = 26)
+  hw.byte_align();              // byte_alignment() -> CABAC starts
+
+  SliceCtxs cx;
+  cx.init(qp);
+  CabacEncoder enc(&buf);
+  int64_t ctb_rows = (nby + 1) >> 1, ctb_cols = (nbx + 1) >> 1;
+  int64_t n_ctu = ctb_rows * ctb_cols;
+  for (int64_t t = 0; t < n_ctu; ++t) {
+    int64_t ty = t / ctb_cols, tx = t % ctb_cols;
+    // coding_quadtree at depth 0: split_cu_flag coded only when the
+    // full CTB lies inside the picture; partial CTBs split implicitly.
+    bool inside = (2 * ty + 2 <= nby) && (2 * tx + 2 <= nbx);
+    if (inside) {
+      // 9.3.4.2.2 ctxInc: +1 per available neighbor CU with greater
+      // cqtDepth — every coded CU here has depth 1 > 0, so ctxInc is
+      // simply the neighbor-availability count.
+      int ctx = (tx > 0 ? 1 : 0) + (ty > 0 ? 1 : 0);
+      enc.encode(cx.split_cu[ctx], 1);
+    }
+    // z-order quadrants, skipping out-of-picture CUs (implicit rule)
+    const int64_t qy[4] = {0, 0, 1, 1}, qx[4] = {0, 1, 0, 1};
+    for (int q = 0; q < 4; ++q) {
+      int64_t cy = 2 * ty + qy[q], cxx = 2 * tx + qx[q];
+      if (cy >= nby || cxx >= nbx) continue;
+      encode_cu(enc, cx, coeffs, modes, nbx, cy, cxx, lg2, ncoef);
+    }
+    enc.terminate(t + 1 == n_ctu ? 1 : 0);  // end_of_slice_segment_flag
+  }
+  enc.finish();
+  if (static_cast<int64_t>(buf.size()) > cap) return -1;
+  std::memcpy(out, buf.data(), buf.size());
+  return static_cast<int64_t>(buf.size());
+}
+
+// Decode a spec-syntax slice.  Returns 0 ok, >0 corrupt; *qp_out gets
+// 26 + slice_qp_delta (the caller cross-checks its PPS QP).
+int32_t nhc_decode_slice(const uint8_t* data, int64_t nbytes, int64_t nby,
+                         int64_t nbx, int32_t lg2, int32_t* coeffs_out,
+                         int32_t* modes_out, int32_t* qp_out) {
+  if (lg2 < 2 || lg2 > 5 || nby <= 0 || nbx <= 0) return 2;
+  int ncoef = (1 << lg2) * (1 << lg2);
+
+  HdrReader hr{data, static_cast<size_t>(nbytes)};
+  if (hr.bit() != 1) return 6;                  // first_slice flag
+  hr.bit();                                     // no_output_of_prior_pics
+  if (hr.ue() != 0) return 6;                   // pps id
+  if (hr.ue() != 2) return 6;                   // slice_type must be I
+  int32_t qp = 26 + hr.se();
+  if (hr.fail || qp < 0 || qp > 51) return 6;
+  if (!hr.byte_align()) return 6;
+  *qp_out = qp;
+
+  SliceCtxs cx;
+  cx.init(qp);
+  size_t off = hr.pos >> 3;
+  CabacDecoder dec(data + off, static_cast<size_t>(nbytes) - off);
+  int64_t ctb_rows = (nby + 1) >> 1, ctb_cols = (nbx + 1) >> 1;
+  int64_t n_ctu = ctb_rows * ctb_cols;
+  for (int64_t t = 0; t < n_ctu; ++t) {
+    int64_t ty = t / ctb_cols, tx = t % ctb_cols;
+    bool inside = (2 * ty + 2 <= nby) && (2 * tx + 2 <= nbx);
+    if (inside) {
+      int ctx = (tx > 0 ? 1 : 0) + (ty > 0 ? 1 : 0);
+      if (!dec.decode(cx.split_cu[ctx])) return 5;   // depth-1 grid only
+    }
+    const int64_t qy[4] = {0, 0, 1, 1}, qx[4] = {0, 1, 0, 1};
+    for (int q = 0; q < 4; ++q) {
+      int64_t cy = 2 * ty + qy[q], cxx = 2 * tx + qx[q];
+      if (cy >= nby || cxx >= nbx) continue;
+      int rcio = decode_cu(dec, cx, coeffs_out, modes_out, nbx, cy, cxx,
+                           lg2, ncoef);
+      if (rcio) return rcio;
+      if (dec.overrun()) return 3;
+    }
+    int term = dec.terminate();
+    if (term != (t + 1 == n_ctu ? 1 : 0)) return 4;
+  }
+  return dec.overrun() ? 3 : 0;
+}
 
 // Encode nb transform blocks (raster layout inside each block) with
 // the spec engine.  scan_idx: per-block 0/1/2.  Returns payload size,
@@ -891,6 +1229,6 @@ int32_t nhc_decode_plane(const uint8_t* data, int64_t nbytes, int64_t nb,
   return 0;
 }
 
-int32_t nhc_version() { return 1; }
+int32_t nhc_version() { return 2; }
 
 }  // extern "C"
