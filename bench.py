@@ -81,8 +81,11 @@ UHD_H, UHD_W = (144, 256) if SMOKE else (2160, 3840)
 GATE_H, GATE_W = (128, 256) if SMOKE else (512, 1024)
 SEQ_FRAMES = 3 if SMOKE else 24
 TARGET_SCALE = 0.02 if SMOKE else 1.0
+# Smoke's purpose is validating every row + gate on CPU, so its budget
+# is sized to run them all (~12 min); the real-run default is sized to
+# the driver's window.
 BUDGET_S = float(os.environ.get("NANOHEVC_BENCH_BUDGET_S",
-                                "120" if SMOKE else "2250"))
+                                "1800" if SMOKE else "2250"))
 EMIT_RESERVE_S = 5.0
 STATE_PATH = os.environ.get(
     "NANOHEVC_BENCH_STATE",
@@ -374,7 +377,9 @@ def row_closed_loop_35(ctx):
         encode_planes_closed_loop,
     )
 
-    cl_b = int(os.environ.get("NANOHEVC_BENCH_CL_BATCH", "4"))
+    # batch 16 = grouped kernel layout g=8, m=2 (batch must be a
+    # multiple of 8 to ride the grouped closed-loop kernel on chip)
+    cl_b = int(os.environ.get("NANOHEVC_BENCH_CL_BATCH", "16"))
     # escape hatch: NANOHEVC_BENCH_CL_XLA=1 forces the XLA scan path
     cl_fast = None if os.environ.get("NANOHEVC_BENCH_CL_XLA") != "1" else False
     fn = jax.jit(
