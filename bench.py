@@ -377,9 +377,11 @@ def row_closed_loop_35(ctx):
         encode_planes_closed_loop,
     )
 
-    # batch 16 = grouped kernel layout g=8, m=2 (batch must be a
-    # multiple of 8 to ride the grouped closed-loop kernel on chip)
-    cl_b = int(os.environ.get("NANOHEVC_BENCH_CL_BATCH", "16"))
+    # batch 8 rides the grouped closed-loop kernel (batch % 8 == 0) at
+    # its reliable compile cost (~35 s; the lane-packed b=16 layout
+    # measured faster, 396 vs 281 Mpix/s, but its ~400 s Mosaic
+    # compile through the tunnel does not fit the driver window)
+    cl_b = int(os.environ.get("NANOHEVC_BENCH_CL_BATCH", "8"))
     # escape hatch: NANOHEVC_BENCH_CL_XLA=1 forces the XLA scan path
     cl_fast = None if os.environ.get("NANOHEVC_BENCH_CL_XLA") != "1" else False
     fn = jax.jit(
