@@ -105,6 +105,7 @@ def decide_modes(
     dequant_rescale: bool = False,
     rd_lambda_scale: float = 1.0,
     grid: Tuple[int, int] | None = None,
+    mode_bits: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pick the best intra mode per block.
 
@@ -136,6 +137,12 @@ def decide_modes(
     pass-1 left/above neighbors and re-decides with the mode-rate
     term included — the standard one-step RDO approximation for an
     all-at-once open-loop decision.  decision="rd" only.
+
+    mode_bits=(nb, 35) float32 charges an EXACT per-candidate mode-rate
+    term lambda * mode_bits instead (mutually exclusive with grid):
+    the closed-loop wavefront passes it, computed from the true
+    already-decided neighbor modes its sequential scan carries — no
+    two-pass approximation needed there.
     """
     from nanohevc_tpu.ops.intra import mode_filter_flags
 
@@ -164,14 +171,17 @@ def decide_modes(
         cost_pl = _cost(blocks, pl, decision)
 
     if mode_set == "dc_planar":
-        if decision == "rd" and grid is not None:
-            from nanohevc_tpu.ops.mode_rate import mode_bits_for_grid
-
+        if decision == "rd" and (grid is not None or mode_bits is not None):
             lam = _rd_lambda(qp, rd_lambda_scale)
-            p1 = jnp.where(cost_dc <= cost_pl, DC_MODE, PLANAR_MODE)
-            bits_m = mode_bits_for_grid(p1.astype(jnp.int32).reshape(grid))
-            cost_dc = cost_dc + lam * bits_m[:, DC_MODE]
-            cost_pl = cost_pl + lam * bits_m[:, PLANAR_MODE]
+            if mode_bits is None:
+                from nanohevc_tpu.ops.mode_rate import mode_bits_for_grid
+
+                p1 = jnp.where(cost_dc <= cost_pl, DC_MODE, PLANAR_MODE)
+                mode_bits = mode_bits_for_grid(
+                    p1.astype(jnp.int32).reshape(grid)
+                )
+            cost_dc = cost_dc + lam * mode_bits[:, DC_MODE]
+            cost_pl = cost_pl + lam * mode_bits[:, PLANAR_MODE]
         dc_wins = cost_dc <= cost_pl
         pred = jnp.where(dc_wins[:, None, None], dc, pl)
         mode = jnp.where(dc_wins, DC_MODE, PLANAR_MODE).astype(jnp.int32)
@@ -214,12 +224,14 @@ def decide_modes(
     costs = jnp.concatenate(
         [cost_pl[:, None], cost_dc[:, None], costs_ang], axis=1
     )                                                    # (nb, 35); idx = mode
-    if decision == "rd" and grid is not None:
-        from nanohevc_tpu.ops.mode_rate import mode_bits_for_grid
-
+    if decision == "rd" and (grid is not None or mode_bits is not None):
         lam = _rd_lambda(qp, rd_lambda_scale)
-        p1 = jnp.argmin(costs, axis=1).astype(jnp.int32)
-        costs = costs + lam * mode_bits_for_grid(p1.reshape(grid))
+        if mode_bits is None:
+            from nanohevc_tpu.ops.mode_rate import mode_bits_for_grid
+
+            p1 = jnp.argmin(costs, axis=1).astype(jnp.int32)
+            mode_bits = mode_bits_for_grid(p1.reshape(grid))
+        costs = costs + lam * mode_bits
     best_mode = jnp.argmin(costs, axis=1).astype(jnp.int32)  # ties -> lowest
     onehot = jax.nn.one_hot(best_mode - 2, 33, dtype=jnp.int32)
     best_ang = jnp.einsum(

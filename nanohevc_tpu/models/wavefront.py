@@ -314,14 +314,39 @@ def encode_planes_closed_loop(
             bit_depth=bit_depth, dequant_rescale=dequant_rescale,
         )
     else:
+        rd = decision == "rd"
+
         def step(carry, xs):
-            s_bot, r_sp = carry
+            if rd:
+                s_bot, r_sp, prev_modes = carry
+            else:
+                s_bot, r_sp = carry
             d, bx, ok, blocks_slot = xs
             refs = _read_refs_skewed(s_bot, r_sp, d, n, nby, boundary, bx)
+            mb = None
+            if rd:
+                # EXACT per-candidate MPM signalling cost: in skewed
+                # coordinates, slot by's left neighbor (by, bx-1) was
+                # decided at step d-1 in the SAME slot and its above
+                # neighbor (by-1, bx) in slot by-1 — both live in the
+                # previous step's decided-modes vector.  Unavailable
+                # neighbors (bx == 0 <=> by == d; by == 0) read as DC,
+                # the mode coder's exact conditioning
+                # (runtime/entropy.py encode_modes), so the rate term
+                # prices the shipped syntax with no approximation.
+                from nanohevc_tpu.ops.mode_rate import mpm_mode_bits
+
+                slot_i = jnp.arange(nby, dtype=jnp.int32)
+                a_n = jnp.where(slot_i == d, 1, prev_modes)
+                b_n = jnp.concatenate(
+                    [jnp.ones((1,), jnp.int32), prev_modes[:-1]]
+                )
+                mb = mpm_mode_bits(a_n, b_n)
             pred, modes = decide_modes(
                 blocks_slot, refs, n, mode_set, decision,
                 smoothing=intra_smoothing, bit_depth=bit_depth,
                 qp=qp, use_dst=use_dst, dequant_rescale=dequant_rescale,
+                mode_bits=mb,
             )
             levels, rec_blocks = _code_residual(
                 blocks_slot, pred, qp, n, use_dst, bit_depth, dequant_rescale
@@ -329,11 +354,15 @@ def encode_planes_closed_loop(
             s_bot, r_sp = _write_bufs_skewed(
                 s_bot, r_sp, rec_blocks, d, ok, bx, n, nby, nbx, rep_w, rep_h
             )
-            return (s_bot, r_sp), (rec_blocks, levels, modes)
+            new_carry = (s_bot, r_sp, modes) if rd else (s_bot, r_sp)
+            return new_carry, (rec_blocks, levels, modes)
 
         def one_frame(frame_sk):
+            init = _skew_buffers(nby, nbx, n)
+            if rd:
+                init = init + (jnp.ones((nby,), jnp.int32),)
             _, outs = jax.lax.scan(
-                step, _skew_buffers(nby, nbx, n), (d_j, bx_j, ok_j, frame_sk),
+                step, init, (d_j, bx_j, ok_j, frame_sk),
                 unroll=unroll,
             )
             return outs

@@ -80,3 +80,37 @@ class TestRdDecision:
         recon, bs = encode_frame_closed_loop(fr, cfg)
         dec = decode_frame(bs)
         assert np.array_equal(dec.y.data, recon.y.data)
+
+
+class TestClosedLoopExactModeRate:
+    def test_exact_mpm_rate_reduces_mode_bytes_and_decodes(self):
+        """Closed-loop decision='rd' charges the EXACT MPM signalling
+        cost (neighbors from the scan's decided-modes carry, no 2-pass
+        approximation): the chosen mode field must code at most as many
+        bytes as the SATD field on coherent content, and the stream
+        must stay pixel-exact through decode_plane."""
+        import numpy as np
+
+        from nanohevc_tpu.models.wavefront import (
+            decode_plane,
+            encode_plane_closed_loop,
+        )
+        from nanohevc_tpu.runtime import entropy as E
+
+        rng = np.random.default_rng(0)
+        h, w, n, qp = 64, 96, 8, 38
+        base = np.linspace(0, 255, w)[None, :] + rng.integers(
+            -25, 26, (h, w))
+        plane = jnp.asarray(np.clip(base, 0, 255).astype(np.int32))
+        satd = encode_plane_closed_loop(
+            plane, jnp.int32(qp), n=n, mode_set="all", decision="satd")
+        rd = encode_plane_closed_loop(
+            plane, jnp.int32(qp), n=n, mode_set="all", decision="rd",
+            allow_fast=False)
+        dec = decode_plane(rd["levels"], rd["modes"], jnp.int32(qp),
+                           n=n, height=h, width=w)
+        assert np.array_equal(np.asarray(dec), np.asarray(rd["recon"]))
+        nby, nbx = h // n, w // n
+        b_satd = len(E.encode_modes(np.asarray(satd["modes"]), nby, nbx))
+        b_rd = len(E.encode_modes(np.asarray(rd["modes"]), nby, nbx))
+        assert b_rd <= b_satd, (b_rd, b_satd)
