@@ -196,6 +196,12 @@ def make_closed_loop_encoder(
             bit_depth=config.bit_depth,
             scan=config.scan,
             dequant_rescale=config.dequant_rescale,
+            intra_smoothing=config.intra_smoothing and is_luma,
+            deblock=config.deblock,
+            deblock_chroma=not is_luma,
+            sao=config.sao,
+            sao_ctb=config.sao_ctb,
+            sao_tile=config.sao_tile,
         )
         frame_psnr = jax.vmap(psnr)(planes.astype(jnp.int32), out["recon"])
         out["psnr"] = frame_psnr
@@ -219,6 +225,16 @@ def make_closed_loop_encoder(
         "psnr": P("frame"),
         "mean_psnr": P(),
     }
+    if config.sao:
+        # per-frame ((F,) type, (F,) band_pos, (F, 4) offsets)
+        out_specs["sao"] = (P("frame"), P("frame"), P("frame", None))
+    if config.sao_ctb:
+        # (F, nty, ntx) type/band maps + (F, nty, ntx, 4) offsets
+        out_specs["sao_ctb"] = (
+            P("frame", None, None),
+            P("frame", None, None),
+            P("frame", None, None, None),
+        )
     fn = shard_map(
         sharded_step,
         mesh=mesh,
