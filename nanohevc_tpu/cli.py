@@ -167,6 +167,41 @@ def cmd_encode(args: argparse.Namespace) -> None:
                 f"  Bitstream: {args.bitstream} ({len(bitstream)} bytes, "
                 f"{raw / len(bitstream):.1f}x vs raw, decodable)"
             )
+        if args.hevc_export:
+            # standalone standard-syntax monochrome stream of the luma
+            # plane (real NAL headers + spec VPS/SPS/PPS + IDR slice)
+            import jax.numpy as jnp
+
+            from nanohevc_tpu.models.wavefront import (
+                encode_plane_closed_loop,
+            )
+            from nanohevc_tpu.runtime.bitstream import (
+                _np_unpack,
+                _slice_scan_sel,
+            )
+            from nanohevc_tpu.runtime.hevc_stream import export_hevc_stream
+
+            out = encode_plane_closed_loop(
+                jnp.asarray(frame.y.data.astype(np.int32)),
+                jnp.int32(config.qp),
+                n=config.block_size,
+                mode_set=config.mode_set,
+                decision=config.decision,
+            )
+            lv = np.asarray(out["levels"])
+            md = np.asarray(out["modes"])
+            sel = _slice_scan_sel(
+                config.scan, md, lv.shape[0], config.block_size
+            )
+            raster = _np_unpack(lv, sel, config.block_size)
+            stream = export_hevc_stream(
+                raster, md, args.height, args.width, config.block_size,
+                config.qp,
+            )
+            with open(args.hevc_export, "wb") as f:
+                f.write(stream)
+            print(f"  HEVC export (luma, monochrome Annex B): "
+                  f"{args.hevc_export} ({len(stream)} bytes)")
         return
 
     if args.pipeline == "predict":
@@ -450,6 +485,15 @@ def main(argv: list[str] | None = None) -> None:
         default=64,
         help="CTB tile size in samples for --sao-ctb (power of two, "
         "default 64)",
+    )
+    enc.add_argument(
+        "--hevc-export",
+        metavar="PATH",
+        default=None,
+        help="also export the luma plane as a standalone standard-"
+        "syntax monochrome HEVC stream (Annex B: real NAL headers, "
+        "spec VPS/SPS/PPS, IDR slice; closed-loop only, block size "
+        ">= 8)",
     )
     enc.add_argument(
         "--dequant-rescale",
