@@ -116,9 +116,20 @@ def _kernel(scal_ref, blocks_ref, wfwd_ref, winv_ref,
     phase = lane % n
     slot = (lane % fw) // n                                  # frame-local by
 
+    # Wrapped schedule: each slot streams F frames back to back, i.e.
+    # the standard wavefront over the horizontally CONCATENATED wide
+    # frame (nby x F*nbx blocks), so the frame-edge masks are periodic
+    # in the frame-local block column bxl = (d - slot) mod nbx.  koff
+    # (a compile-time multiple of nbx >= nby-1) keeps the dividend
+    # non-negative so `%` is plain remainder.  At F == 1 this agrees
+    # with the un-wrapped masks on every valid slot; out-of-stream
+    # slots compute garbage that only ever flows to other invalid
+    # slots (the valid window moves one slot down per step).
+    koff = -(-nby // nbx) * nbx
+    bxl = (d - slot + koff) % nbx
     top_edge = slot == 0                                     # by == 0
-    left_edge = slot == d                                    # bx == 0
-    last_bcol = slot == d - (nbx - 1)                        # bx == nbx-1
+    left_edge = bxl == 0                                     # frame bx == 0
+    last_bcol = bxl == nbx - 1                               # frame bx == nbx-1
     last_brow = slot == nby - 1                              # by == nby-1
 
     rc_raw = rc_ref[:, :]                                    # (n*g, W)
@@ -250,22 +261,44 @@ def wavefront_mode_grouped_supported(n: int, batch: int, mode_set: str,
     )
 
 
-def _factor_gm(batch: int, interpret: bool) -> tuple[int, int]:
-    """Split the frame batch into (g sublane groups, m lane groups).
+def _factor_gmf(batch: int, interpret: bool, group, lanes, wrap):
+    """Split the frame batch into (g sublane, m lane, F wrap) factors.
 
     g rides the sublane axis (8 = the vreg sublane count, so grouped
-    row ops are tile-aligned); every further factor of the batch rides
-    the lane axis, multiplying per-diagonal work at constant compile
-    complexity (Mosaic compile time grows with the sublane-packed
-    temporaries, measured 35 s at g=8 vs ~300 s at g=32, while lane
-    width is cheap).  Interpret mode keeps g=batch, m=1 (no tiling)."""
-    if interpret:
-        return batch, 1
-    return 8, batch // 8
+    row ops are tile-aligned); m frames tile the lane axis back to
+    back, multiplying per-diagonal work; F frames stream through each
+    (g, m) slot in time (the wrapped wavefront), cutting the skew's
+    idle slots from (nby-1) per frame to (nby-1) per F frames.  Lane
+    width raises both per-step work and Mosaic compile time (~33 s at
+    m=1, ~110 s at m=2 on this tunnel), wrap is compile-free, so the
+    auto split caps m at 4 and sends the rest of the batch to F:
+    measured at 1080p the marginal per-step cost fits t = 71 + 87*m us,
+    which puts the optimum near m = sqrt(batch/8) capped at 4.
+    Interpret mode keeps g=batch, m=F=1 (no tiling) unless overridden.
+    """
+    if group is None and lanes is None and wrap is None and interpret:
+        return batch, 1, 1
+    g = group or (batch if interpret else 8)
+    k, rem = divmod(batch, g)
+    if rem:
+        raise ValueError(f"batch {batch} not divisible by group {g}")
+    if lanes is None and wrap is None:
+        # prefer the largest m <= 4 dividing k that still leaves F >= 2
+        cands = [m for m in range(1, min(4, k) + 1) if k % m == 0]
+        deep = [m for m in cands if k // m >= 2]
+        m = max(deep) if deep else max(cands)
+    else:
+        m = lanes if lanes is not None else k // wrap
+    f, rem = divmod(k, m)
+    if wrap is not None and f != wrap:
+        raise ValueError(f"batch {batch} != group*lanes*wrap")
+    if rem:
+        raise ValueError(f"batch/group {k} not divisible by lanes {m}")
+    return g, m, f
 
 
-def wavefront_mode_search_blocks_grouped(
-    blocks_sk: jnp.ndarray,
+def wavefront_mode_search_raster_grouped(
+    blocks: jnp.ndarray,
     qp,
     *,
     n: int,
@@ -276,24 +309,38 @@ def wavefront_mode_search_blocks_grouped(
     dequant_rescale: bool = False,
     interpret: bool | None = None,
     group: int | None = None,
+    lanes: int | None = None,
+    wrap: int | None = None,
 ):
-    """Skewed blocks (B, ndiag, nby, N, N) -> (rec, levels, modes).
+    """Raster blocks (B, nby*nbx, N, N) -> raster (rec, levels, modes).
 
-    Same output contract as wavefront_mode_slab.
-    wavefront_mode_search_blocks, with the frame batch riding the
-    sublane axis (g) and the lane axis (m frames back to back),
-    B = g * m; frame q*m+j sits at sublane group q, lane group j.
-    group overrides g (tests force m > 1 in interpret mode with it).
+    rec/levels are (B, nb, N, N), modes (B, nb), identical bit-for-bit
+    to the XLA wavefront scan per frame.  The batch factors as
+    B = g * m * F: frame ((q*m + j) * F + fi) runs at sublane group q,
+    lane group j, stream position fi.  Wrapping is the standard skew
+    over the F frames CONCATENATED horizontally (one nby x F*nbx wide
+    frame per (q, j) slot) with nbx-periodic frame-edge masks in the
+    kernel, so slot by starts frame fi+1's row the step after it
+    finishes frame fi's: total steps F*nbx + nby - 1 instead of
+    F*(nbx + nby - 1).  group/lanes/wrap override the auto split
+    (tests force m, F > 1 in interpret mode with them).
     """
     if interpret is None:
         interpret = _interpret_default()
-    squeeze = blocks_sk.ndim == 4
-    if squeeze:
-        blocks_sk = blocks_sk[None]
-    batch, ndiag = blocks_sk.shape[0], blocks_sk.shape[1]
-    g, m = (group, batch // group) if group else _factor_gm(batch, interpret)
+    batch = blocks.shape[0]
+    g, m, f = _factor_gmf(batch, interpret, group, lanes, wrap)
+    from nanohevc_tpu.models.wavefront import _deskew_blocks, _skew_blocks
+
+    nbw = f * nbx                       # wide-frame block columns
+    ndiag = nbw + nby - 1
     w_d = m * nby * n
     w_pad = -(-w_d // 128) * 128
+
+    # concat each slot's F frames along the block-column axis, then the
+    # plain wavefront shear of the wide frame IS the wrapped schedule.
+    wide = blocks.reshape(g * m, f, nby, nbx, n, n)
+    wide = wide.transpose(0, 2, 1, 3, 4, 5).reshape(g * m, nby * nbw, n, n)
+    blocks_sk = _skew_blocks(wide, nby, nbw)      # (g*m, ndiag, nby, N, N)
 
     # rows (i, q) interleaved, lanes (j, by, c): one transpose+reshape.
     b6 = blocks_sk.reshape(g, m, ndiag, nby, n, n)
@@ -309,16 +356,22 @@ def wavefront_mode_search_blocks_grouped(
     scal = _qp_scalars_traced(qp, n, bit_depth, dequant_rescale)
     rec, lev, modes = run(scal, diag)
 
+    def unwide(a):
+        # (g*m, nby * nbw, ...) wide raster -> (B, nby*nbx, ...)
+        rest = a.shape[2:]
+        a = a.reshape(g * m, nby, f, nbx, *rest)
+        a = a.transpose(0, 2, 1, 3, *range(4, 4 + len(rest)))
+        return a.reshape(batch, nby * nbx, *rest)
+
     def unslab(a):
         a = a.reshape(ndiag, n, g, w_pad)[:, :, :, :w_d]
         a = a.reshape(ndiag, n, g, m, nby, n)
-        a = a.transpose(2, 3, 0, 4, 1, 5)       # (g, m, ndiag, nby, N, N)
-        a = a.reshape(batch, ndiag, nby, n, n)
-        return a[0] if squeeze else a
+        a = a.transpose(2, 3, 0, 4, 1, 5)     # (g, m, ndiag, nby, N, N)
+        a = a.reshape(g * m, ndiag, nby, n, n)
+        return unwide(_deskew_blocks(a, nby, nbw))
 
     modes_s = modes.reshape(ndiag, g, w_pad)[:, :, :w_d]
     modes_s = modes_s.reshape(ndiag, g, m, nby, n)[:, :, :, :, 0]
-    modes_s = modes_s.transpose(1, 2, 0, 3).reshape(batch, ndiag, nby)
-    if squeeze:
-        modes_s = modes_s[0]
-    return unslab(rec), unslab(lev), modes_s
+    modes_s = modes_s.transpose(1, 2, 0, 3).reshape(g * m, ndiag, nby)
+    modes_r = unwide(_deskew_blocks(modes_s, nby, nbw))
+    return unslab(rec), unslab(lev), modes_r

@@ -263,12 +263,9 @@ def encode_planes_closed_loop(
     )
     from nanohevc_tpu.kernels.wavefront_mode_grouped import (
         wavefront_mode_grouped_supported,
-        wavefront_mode_search_blocks_grouped,
+        wavefront_mode_search_raster_grouped,
     )
 
-    # Pre-skew the source blocks once: (B, ndiag, nby, N, N).  Pure
-    # pad+reshape (no gather HLO); inside the loop everything is slices.
-    blocks_sk = _skew_blocks(blocks, nby, nbx)
     bx_j, ok_j = jnp.asarray(bx_t), jnp.asarray(ok_t)
     d_j = jnp.arange(ndiag, dtype=jnp.int32)
 
@@ -290,25 +287,31 @@ def encode_planes_closed_loop(
                                                    use_dst)
             )
         )
+    rec_raster = None
     if allow_fast and wavefront_mode_grouped_supported(
         n, b, mode_set, decision, use_dst
     ):
-        # batch packs the sublane axis: (1, W) reference ops become
-        # (g, W) and row slices become tile-aligned g-row groups —
-        # the open-loop grouped kernel's ~2.3x layout win, applied to
-        # the wavefront (kernels/wavefront_mode_grouped.py).
-        rec_all, levels_all, modes_all = wavefront_mode_search_blocks_grouped(
-            blocks_sk, qp, n=n, nby=nby, nbx=nbx, use_dst=use_dst,
+        # batch packs the sublane axis ((1, W) reference ops become
+        # (g, W) and row slices become tile-aligned g-row groups — the
+        # open-loop grouped kernel's ~2.3x layout win), the lane axis
+        # (m frames back to back) and TIME (F frames stream through
+        # each slot: the wrapped wavefront cuts the skew's idle slots
+        # by F).  Raster in/out; the per-frame skew below is skipped.
+        rec_raster, lev_raster, modes_r = wavefront_mode_search_raster_grouped(
+            blocks, qp, n=n, nby=nby, nbx=nbx, use_dst=use_dst,
             bit_depth=bit_depth, dequant_rescale=dequant_rescale,
         )
+        modes = modes_r.reshape(b, nby * nbx)
     elif allow_fast and wavefront_mode_kernel_supported(
         n, mode_set, decision, use_dst
     ):
+        blocks_sk = _skew_blocks(blocks, nby, nbx)
         rec_all, levels_all, modes_all = wavefront_mode_search_blocks(
             blocks_sk, qp, n=n, nby=nby, nbx=nbx, use_dst=use_dst,
             bit_depth=bit_depth, dequant_rescale=dequant_rescale,
         )
     elif allow_fast:
+        blocks_sk = _skew_blocks(blocks, nby, nbx)
         rec_all, levels_all, modes_all = wavefront_encode_blocks(
             blocks_sk, qp, n=n, nby=nby, use_dst=use_dst,
             bit_depth=bit_depth, dequant_rescale=dequant_rescale,
@@ -367,12 +370,17 @@ def encode_planes_closed_loop(
             )
             return outs
 
+        blocks_sk = _skew_blocks(blocks, nby, nbx)
         rec_all, levels_all, modes_all = jax.vmap(one_frame)(blocks_sk)
 
     # Deskew back to raster block order (pure pad+reshape - the old
     # 50k-index scatter lowered to serial updates and cost 20+ ms per
-    # frame), then untile/pack over the whole batch at once.
-    rec_raster = _deskew_blocks(rec_all, nby, nbx)        # (B, nb, N, N)
+    # frame), then untile/pack over the whole batch at once.  The
+    # grouped kernel path already returned raster blocks.
+    if rec_raster is None:
+        rec_raster = _deskew_blocks(rec_all, nby, nbx)    # (B, nb, N, N)
+        lev_raster = _deskew_blocks(levels_all, nby, nbx)
+        modes = _deskew_blocks(modes_all, nby, nbx)       # (B, nb)
     recon = jax.vmap(lambda rc: ops.untile_plane(rc, hp, wp))(rec_raster)
     if deblock:
         # In-loop deblocking (spec 8.7.2) on the padded recon before
@@ -384,8 +392,6 @@ def encode_planes_closed_loop(
         recon = ops.deblock_plane(
             recon, qp, bit_depth=bit_depth, is_chroma=deblock_chroma
         )
-    lev_raster = _deskew_blocks(levels_all, nby, nbx)
-    modes = _deskew_blocks(modes_all, nby, nbx)           # (B, nb)
     levels = ops.scan_pack(
         lev_raster.reshape(b * nby * nbx, n, n), scan,
         modes=modes.reshape(b * nby * nbx),

@@ -254,41 +254,49 @@ class TestModeSearchKernelParity:
     def test_batched(self):
         self._check(8, 64, 32, b=2, qp=35)
 
-    @pytest.mark.parametrize("group,b", [(2, 4), (2, 6), (1, 3)])
-    def test_grouped_lane_packing(self, group, b):
-        """The (g sublane, m lane) batch factorization is bit-exact for
-        m > 1: frames tiled back to back along lanes must stay isolated
-        (frame-local slot masks) — the real-TPU layout is g=8, m=B/8."""
+    @pytest.mark.parametrize(
+        "group,lanes,wrap,b",
+        [
+            (2, 2, 1, 4),    # m > 1: lane-tiled frames stay isolated
+            (2, 3, 1, 6),    # odd lane factor
+            (1, 1, 3, 3),    # F > 1: wrapped stream, one slot
+            (2, 1, 2, 4),    # wrap x sublane groups
+            (2, 2, 2, 8),    # all three axes at once
+        ],
+    )
+    def test_grouped_lane_packing_and_wrap(self, group, lanes, wrap, b):
+        """The (g sublane, m lane, F wrap) batch factorization is
+        bit-exact: frames tiled back to back along lanes must stay
+        isolated (frame-local slot masks), and frames streamed through
+        one slot in time (the wrapped wavefront's nbx-periodic edge
+        masks) must reproduce the per-frame schedule exactly — the
+        real-TPU layout is g=8, m,F = auto split of B/8."""
         from nanohevc_tpu.kernels.wavefront_mode_grouped import (
-            wavefront_mode_search_blocks_grouped,
+            wavefront_mode_search_raster_grouped,
         )
-        from nanohevc_tpu.models.wavefront import (
-            _deskew_blocks,
-            _skew_blocks,
-            encode_planes_closed_loop,
-        )
+        from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
         from nanohevc_tpu import ops
 
         n, h, w = 8, 48, 64
         nby, nbx = h // n, w // n
-        rng = np.random.default_rng(group * 10 + b)
+        rng = np.random.default_rng(group * 100 + wrap * 10 + b)
         planes = jnp.asarray(
             rng.integers(0, 256, (b, h, w)).astype(np.int32)
         )
         blocks = jnp.stack([ops.tile_plane(p, n) for p in planes])
-        rec, lev, modes = wavefront_mode_search_blocks_grouped(
-            _skew_blocks(blocks, nby, nbx), jnp.int32(30), n=n,
-            nby=nby, nbx=nbx, group=group,
+        rec, lev, modes = wavefront_mode_search_raster_grouped(
+            blocks, jnp.int32(30), n=n, nby=nby, nbx=nbx,
+            group=group, lanes=lanes, wrap=wrap,
         )
         want = encode_planes_closed_loop(
             planes, jnp.int32(30), n=n, mode_set="all", decision="satd",
             allow_fast=False,
         )
-        got_rec = jnp.stack([
-            ops.untile_plane(f, h, w)
-            for f in _deskew_blocks(rec, nby, nbx)
-        ])
+        got_rec = jnp.stack([ops.untile_plane(f, h, w) for f in rec])
         assert np.array_equal(np.asarray(got_rec), np.asarray(want["recon"]))
+        assert np.array_equal(
+            np.asarray(modes), np.asarray(want["modes"])
+        )
 
     @pytest.mark.parametrize("n,dst", [(4, True), (8, False)])
     def test_matches_sequential_oracle(self, n, dst):
