@@ -377,17 +377,27 @@ def row_closed_loop_35(ctx):
         encode_planes_closed_loop,
     )
 
-    # batch 8 rides the grouped closed-loop kernel (batch % 8 == 0) at
-    # its reliable compile cost (~35 s; the lane-packed b=16 layout
-    # measured faster, 396 vs 281 Mpix/s, but its ~400 s Mosaic
-    # compile through the tunnel does not fit the driver window)
-    cl_b = int(os.environ.get("NANOHEVC_BENCH_CL_BATCH", "8"))
+    # batch 32 = g8 (sublane groups) x m1 x F4 (wrapped wavefront: 4
+    # frames stream through each slot in time).  Pinned split: wrap is
+    # compile-free (same lane width as b=8, ~126 s Mosaic compile on a
+    # degraded tunnel) where the lane-packed m=2 layouts compile ~400 s
+    # and do not fit the driver window.  Measured 842 Mpix/s on chip
+    # (2026-08-20, tools/measure_wrap.py) vs 281 at the round-3 b=8.
+    cl_b = int(os.environ.get("NANOHEVC_BENCH_CL_BATCH",
+                              "8" if SMOKE else "32"))
+    cl_split = tuple(
+        int(x) for x in
+        os.environ.get("NANOHEVC_BENCH_CL_SPLIT", "0,0,0").split(",")
+    )
+    cl_split = cl_split if any(cl_split) else ((8, 1, cl_b // 8)
+                                               if cl_b % 8 == 0 else None)
     # escape hatch: NANOHEVC_BENCH_CL_XLA=1 forces the XLA scan path
     cl_fast = None if os.environ.get("NANOHEVC_BENCH_CL_XLA") != "1" else False
     fn = jax.jit(
         lambda ps: encode_planes_closed_loop(
             ps, jnp.int32(QP), n=8, mode_set="all", decision="satd",
             allow_fast=cl_fast, unroll=2 if cl_fast is False else 1,
+            kernel_split=None if cl_fast is False else cl_split,
         )
     )
     v = time_batch(
@@ -746,7 +756,7 @@ ROWS = [
     ("flagship", 150, row_flagship),
     ("mode8", 200, row_mode8),
     ("mode4", 200, row_mode4),
-    ("closed_loop_35", 320, row_closed_loop_35),
+    ("closed_loop_35", 420, row_closed_loop_35),
     ("wavefront", 200, row_wavefront),
     ("sequence", 420, row_sequence),
     ("yuv", 120, row_yuv),

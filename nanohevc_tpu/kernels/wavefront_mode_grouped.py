@@ -269,11 +269,13 @@ def _factor_gmf(batch: int, interpret: bool, group, lanes, wrap):
     back, multiplying per-diagonal work; F frames stream through each
     (g, m) slot in time (the wrapped wavefront), cutting the skew's
     idle slots from (nby-1) per frame to (nby-1) per F frames.  Lane
-    width raises both per-step work and Mosaic compile time (~33 s at
-    m=1, ~110 s at m=2 on this tunnel), wrap is compile-free, so the
-    auto split caps m at 4 and sends the rest of the batch to F:
-    measured at 1080p the marginal per-step cost fits t = 71 + 87*m us,
-    which puts the optimum near m = sqrt(batch/8) capped at 4.
+    width raises Mosaic compile time steeply (~2 min at m=1, ~7 min at
+    m=2 through a degraded tunnel) while wrap is compile-FREE (same
+    lane width at any F), and on-chip 1080p measurements put all-wrap
+    ahead anyway (g8/m1/F4 = 842 Mpix/s vs 396 for the lane-packed
+    b=16 layout; tools/measure_wrap.py, 2026-08-20), so the auto split
+    keeps m = 1 and sends the whole per-group factor to F.  Explicit
+    lanes= opts in if a config ever wants the wider layout.
     Interpret mode keeps g=batch, m=F=1 (no tiling) unless overridden.
     """
     if group is None and lanes is None and wrap is None and interpret:
@@ -283,10 +285,7 @@ def _factor_gmf(batch: int, interpret: bool, group, lanes, wrap):
     if rem:
         raise ValueError(f"batch {batch} not divisible by group {g}")
     if lanes is None and wrap is None:
-        # prefer the largest m <= 4 dividing k that still leaves F >= 2
-        cands = [m for m in range(1, min(4, k) + 1) if k % m == 0]
-        deep = [m for m in cands if k // m >= 2]
-        m = max(deep) if deep else max(cands)
+        m = 1
     else:
         m = lanes if lanes is not None else k // wrap
     f, rem = divmod(k, m)

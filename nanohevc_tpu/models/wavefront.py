@@ -215,6 +215,7 @@ def encode_planes_closed_loop(
     sao_tile: int = 64,
     allow_fast: bool | None = None,
     unroll: int = 1,
+    kernel_split: tuple[int | None, int | None, int | None] | None = None,
 ):
     """Batched wavefront encode: (B, H, W) planes, reconstruction-fed.
 
@@ -297,9 +298,11 @@ def encode_planes_closed_loop(
         # (m frames back to back) and TIME (F frames stream through
         # each slot: the wrapped wavefront cuts the skew's idle slots
         # by F).  Raster in/out; the per-frame skew below is skipped.
+        ks_g, ks_m, ks_f = kernel_split or (None, None, None)
         rec_raster, lev_raster, modes_r = wavefront_mode_search_raster_grouped(
             blocks, qp, n=n, nby=nby, nbx=nbx, use_dst=use_dst,
             bit_depth=bit_depth, dequant_rescale=dequant_rescale,
+            group=ks_g, lanes=ks_m, wrap=ks_f,
         )
         modes = modes_r.reshape(b, nby * nbx)
     elif allow_fast and wavefront_mode_kernel_supported(
