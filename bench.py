@@ -385,11 +385,21 @@ def row_closed_loop_35(ctx):
     # (2026-08-20, tools/measure_wrap.py) vs 281 at the round-3 b=8.
     cl_b = int(os.environ.get("NANOHEVC_BENCH_CL_BATCH",
                               "8" if SMOKE else "32"))
-    cl_split = tuple(
-        int(x) for x in
-        os.environ.get("NANOHEVC_BENCH_CL_SPLIT", "0,0,0").split(",")
-    )
-    cl_split = cl_split if any(cl_split) else ((8, 1, cl_b // 8)
+    split_env = os.environ.get("NANOHEVC_BENCH_CL_SPLIT", "0,0,0")
+    try:
+        cl_split = tuple(int(x) for x in split_env.split(","))
+    except ValueError:
+        cl_split = ()
+    if len(cl_split) != 3 or any(v < 0 for v in cl_split) or (
+        any(cl_split) and not all(cl_split)
+    ):
+        # fail at the env var, not via tuple-unpack/divmod deep inside
+        # the kernel: exactly three ints, all positive or all 0 (auto)
+        raise ValueError(
+            f"NANOHEVC_BENCH_CL_SPLIT={split_env!r}: need 'g,m,F' with "
+            "three positive ints (or '0,0,0' for auto)"
+        )
+    cl_split = cl_split if all(cl_split) else ((8, 1, cl_b // 8)
                                                if cl_b % 8 == 0 else None)
     # escape hatch: NANOHEVC_BENCH_CL_XLA=1 forces the XLA scan path
     cl_fast = None if os.environ.get("NANOHEVC_BENCH_CL_XLA") != "1" else False
@@ -498,6 +508,19 @@ def row_sequence(ctx):
             f.write(u.tobytes())
     config = EncoderConfig(block_size=8, qp=30)
 
+    # Warm the jitted encode/compact programs on one batch first — every
+    # other row's timing loop also excludes compilation (time_batch's
+    # untimed first batch); end-to-end wall otherwise measures mostly
+    # the one-time XLA compile, not the encoder.
+    log("[sequence] warmup batch (compile)...")
+    t0 = time.time()
+    encode_sequence(
+        src_path, W, H, min(8, num_frames), config,
+        os.path.join(tmp, "warm.bin"), batch=8, resume=False,
+        closed_loop=True,
+    )
+    log(f"[sequence] warmup done in {time.time() - t0:.1f}s")
+
     log("[sequence] encoding...")
     t0 = time.time()
     res = encode_sequence(
@@ -506,8 +529,14 @@ def row_sequence(ctx):
     )
     dt = time.time() - t0
     mpix = num_frames * H * W * 1.5 / dt / 1e6
+    stage_s = {
+        k: round(v["total_s"], 2)
+        for k, v in res.stats.items()
+        if isinstance(v, dict) and "total_s" in v
+    }
     log(f"[sequence] {num_frames} frames in {dt:.1f}s end-to-end "
-        f"-> {mpix:.1f} Mpix/s (YUV pixels, host entropy included)")
+        f"-> {mpix:.1f} Mpix/s (YUV pixels, host entropy included); "
+        f"stages {stage_s}")
 
     # decode-verify gate: 2 sampled frames decode == independent
     # closed-loop re-encode of the same source frames
@@ -580,6 +609,7 @@ def row_sequence(ctx):
         "unit": "Mpix/s",
         "bit_exact": bool(ok),
         "coded_bytes": int(res.bytes_written),
+        "stage_seconds": stage_s,
         "features_on_speed_ratio": round(feat_speed, 2),
         "features_on_bytes_ratio": round(feat_bpp, 2),
         "entropy_tiles4_speedup": round(ratio, 2),

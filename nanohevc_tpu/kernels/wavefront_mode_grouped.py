@@ -278,9 +278,12 @@ def _factor_gmf(batch: int, interpret: bool, group, lanes, wrap):
     lanes= opts in if a config ever wants the wider layout.
     Interpret mode keeps g=batch, m=F=1 (no tiling) unless overridden.
     """
+    for name, v in (("group", group), ("lanes", lanes), ("wrap", wrap)):
+        if v is not None and v <= 0:
+            raise ValueError(f"kernel split {name} must be positive, got {v}")
     if group is None and lanes is None and wrap is None and interpret:
         return batch, 1, 1
-    g = group or (batch if interpret else 8)
+    g = group if group is not None else (batch if interpret else 8)
     k, rem = divmod(batch, g)
     if rem:
         raise ValueError(f"batch {batch} not divisible by group {g}")

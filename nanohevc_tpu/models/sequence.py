@@ -109,8 +109,10 @@ def encode_sequence(
     feedback must see batch i before encoding i+1) and, open-loop, on
     the XLA path (the fused kernels bake QP at compile time).
     """
+    import jax
     import jax.numpy as jnp
 
+    from nanohevc_tpu.ops.sparse import compact_levels, fetch_levels
     from nanohevc_tpu.parallel.sharding import make_batch_encoder
     from nanohevc_tpu.runtime import entropy
     from nanohevc_tpu.runtime.bitstream import assemble_bitstream
@@ -123,8 +125,6 @@ def encode_sequence(
                          "the decodable recon)")
 
     if closed_loop:
-        import jax
-
         from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
         from nanohevc_tpu.ops.metrics import psnr as _psnr
 
@@ -231,6 +231,17 @@ def encode_sequence(
             )
             out.write(header)
 
+        # Device->host transfer is the measured end-to-end wall (round-5
+        # profiling: ~16 s/batch fetching dense int32 levels through a
+        # ~35 MB/s link while host entropy takes 0.1 s), so levels are
+        # compacted ON DEVICE to (int16 value, int32 index) pairs and
+        # only the occupied prefix is fetched (ops/sparse.py); modes
+        # shrink to int8 (0-34).  Uploads ride as uint8 and widen on
+        # device for the same reason.
+        _compact = jax.jit(compact_levels)
+        _to_i8 = jax.jit(lambda m: m.astype(jnp.int8))
+        _widen = jax.jit(lambda p: p.astype(jnp.int32))
+
         def dispatch(first: int):
             """Load + enqueue one device batch; returns pending handle."""
             take = min(batch, num_frames - first)
@@ -242,14 +253,17 @@ def encode_sequence(
             # pad ragged tail batches to the full batch size so every
             # device call shares one compiled program
             padded = planes + [planes[-1]] * (batch - take)
-            ys = np.stack([p[0] for p in padded]).astype(np.int32)
+            ys = np.stack([p[0] for p in padded])          # uint8
             uvs = np.stack(
                 [p[1] for p in padded] + [p[2] for p in padded]
-            ).astype(np.int32)
+            )
             qp_dev = jnp.int32(cur_qp)
             with sw.time("dispatch"):
-                y_out = luma_fn(jnp.asarray(ys), qp_dev)  # async enqueue
-                c_out = chroma_fn(jnp.asarray(uvs), qp_dev)
+                y_out = dict(luma_fn(_widen(jnp.asarray(ys)), qp_dev))
+                c_out = dict(chroma_fn(_widen(jnp.asarray(uvs)), qp_dev))
+                for o in (y_out, c_out):     # async enqueue, like the encode
+                    o["levels_sparse"] = _compact(o["levels"])
+                    o["modes8"] = _to_i8(o["modes"])
             return first, take, cur_qp, y_out, c_out
 
         def drain(pending) -> int:
@@ -257,10 +271,16 @@ def encode_sequence(
             nonlocal cur_qp
             first, take, batch_qp, y_out, c_out = pending
             with sw.time("fetch"):
-                y_levels = np.asarray(y_out["levels"])[:take]
-                y_modes = np.asarray(y_out["modes"])[:take]
-                c_levels = np.asarray(c_out["levels"])
-                c_modes = np.asarray(c_out["modes"])
+                y_levels = fetch_levels(
+                    y_out["levels_sparse"], y_out["levels"].shape,
+                    dense=y_out["levels"],
+                )[:take]
+                y_modes = np.asarray(y_out["modes8"], np.int32)[:take]
+                c_levels = fetch_levels(
+                    c_out["levels_sparse"], c_out["levels"].shape,
+                    dense=c_out["levels"],
+                )
+                c_modes = np.asarray(c_out["modes8"], np.int32)
                 psnrs.extend(float(v) for v in np.asarray(y_out["psnr"])[:take])
                 y_sao = c_sao = y_ctb = c_ctb = None
                 if config.sao:

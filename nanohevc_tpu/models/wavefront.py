@@ -289,9 +289,20 @@ def encode_planes_closed_loop(
             )
         )
     rec_raster = None
-    if allow_fast and wavefront_mode_grouped_supported(
+    grouped_path = allow_fast and wavefront_mode_grouped_supported(
         n, b, mode_set, decision, use_dst
-    ):
+    )
+    if kernel_split is not None and not grouped_path:
+        # A pinned split that silently doesn't apply would misreport
+        # which throughput class the caller got — refuse instead.
+        raise ValueError(
+            f"kernel_split={kernel_split} requires the grouped wavefront "
+            f"kernel, but that path is not selected here (n={n}, "
+            f"batch={b}, mode_set={mode_set!r}, decision={decision!r}, "
+            f"use_dst={use_dst}, allow_fast={allow_fast}; on real TPU "
+            "the batch must be a positive multiple of 8)"
+        )
+    if grouped_path:
         # batch packs the sublane axis ((1, W) reference ops become
         # (g, W) and row slices become tile-aligned g-row groups — the
         # open-loop grouped kernel's ~2.3x layout win), the lane axis
