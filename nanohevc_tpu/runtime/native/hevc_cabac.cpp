@@ -864,11 +864,14 @@ const uint8_t kInitSplitCu[3] = {139, 141, 157};
 const uint8_t kInitPartMode = 184;
 const uint8_t kInitPrevIntra = 184;
 const uint8_t kInitCbfLumaPair[2] = {111, 141};
+// intra_chroma_pred_mode first (context-coded) bin, initType 0.
+const uint8_t kInitChromaPred = 63;
 
 struct SliceCtxs {
   Ctx split_cu[3];
   Ctx part_mode;
   Ctx prev_intra;
+  Ctx chroma_pred;
   Ctx cbf_luma[2];
   ResidualCtxs res;
 
@@ -876,6 +879,7 @@ struct SliceCtxs {
     for (int i = 0; i < 3; ++i) split_cu[i].init(kInitSplitCu[i], qp);
     part_mode.init(kInitPartMode, qp);
     prev_intra.init(kInitPrevIntra, qp);
+    chroma_pred.init(kInitChromaPred, qp);
     for (int i = 0; i < 2; ++i) cbf_luma[i].init(kInitCbfLumaPair[i], qp);
     res.init(qp);
   }
@@ -1054,6 +1058,163 @@ int decode_cu(CabacDecoder& dec, SliceCtxs& cx, int32_t* coeffs,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// 4:2:0 coding_unit (chroma_format_idc = 1): the luma syntax above plus
+// intra_chroma_pred_mode (9.3.3.8 binarization, Table 8-3 candidate
+// substitution) and the Cb/Cr transform units (7.3.8.8: cbf_cb/cbf_cr
+// at trafoDepth 0 before cbf_luma; 7.3.8.10: chroma residual_coding
+// after luma, log2TrafoSizeC = lg2 - 1).  One chroma mode covers both
+// chroma components — the spec's own constraint — so the caller must
+// provide Cb/Cr planes coded with a SHARED per-CU mode.
+// ---------------------------------------------------------------------------
+
+// 8.4.3: candModeListC = {planar, ver, hor, dc}, entries equal to the
+// luma mode replaced by angular-34.
+inline void chroma_cand_list(int32_t luma_mode, int32_t* c) {
+  c[0] = 0; c[1] = 26; c[2] = 10; c[3] = 1;
+  for (int i = 0; i < 4; ++i)
+    if (c[i] == luma_mode) c[i] = 34;
+}
+
+// intra_chroma_pred_mode value for (luma, chroma) or -1 if the pair is
+// not representable in the spec syntax.
+inline int chroma_pred_value(int32_t luma_mode, int32_t chroma_mode) {
+  if (chroma_mode == luma_mode) return 4;       // DM_CHROMA
+  int32_t c[4];
+  chroma_cand_list(luma_mode, c);
+  for (int i = 0; i < 4; ++i)
+    if (c[i] == chroma_mode) return i;
+  return -1;
+}
+
+// chroma scanIdx (7.4.9.11): mode-dependent only at log2TrafoSizeC == 2
+// when ChromaArrayType != 3 (4:2:0 here).
+inline int chroma_scan_idx(int lg2c, int mode_c) {
+  return lg2c == 2 ? spec_scan_idx(2, mode_c) : 0;
+}
+
+int encode_cu420(CabacEncoder& enc, SliceCtxs& cx, const int32_t* coeffs_y,
+                 const int32_t* modes_y, const int32_t* coeffs_cb,
+                 const int32_t* coeffs_cr, const int32_t* modes_c,
+                 int64_t nbx, int64_t cy, int64_t cx_, int lg2) {
+  int64_t i = cy * nbx + cx_;
+  int ncoef = (1 << lg2) * (1 << lg2);
+  int lg2c = lg2 - 1;
+  int ncoef_c = (1 << lg2c) * (1 << lg2c);
+  int32_t mode = modes_y[i];
+  enc.encode(cx.part_mode, 1);                   // PART_2Nx2N
+  int32_t a = cx_ > 0 ? modes_y[i - 1] : 1;
+  int32_t b = (cy > 0 && (cy & 1)) ? modes_y[i - nbx] : 1;
+  int32_t m[3];
+  slice_mpm_list(a, b, m);
+  int idx = mode == m[0] ? 0 : mode == m[1] ? 1 : mode == m[2] ? 2 : -1;
+  enc.encode(cx.prev_intra, idx >= 0);
+  if (idx >= 0) {
+    enc.bypass(idx > 0);
+    if (idx > 0) enc.bypass(idx - 1);
+  } else {
+    int32_t s[3] = {m[0], m[1], m[2]};
+    sort3i(s);
+    int32_t rem = mode;
+    for (int k = 2; k >= 0; --k)
+      if (mode > s[k]) --rem;
+    enc.bypass_bits(static_cast<uint32_t>(rem), 5);
+  }
+  // intra_chroma_pred_mode (9.3.3.8): ctx bin 0 -> DM; else 2 FL bins.
+  int cpv = chroma_pred_value(mode, modes_c[i]);
+  if (cpv < 0) return -3;
+  enc.encode(cx.chroma_pred, cpv != 4);
+  if (cpv != 4) enc.bypass_bits(static_cast<uint32_t>(cpv), 2);
+  // transform_tree depth 0: cbf_cb, cbf_cr (ctxInc = trafoDepth = 0,
+  // shared chroma models), then cbf_luma (ctxInc 1).
+  const int32_t* blk_y = coeffs_y + i * ncoef;
+  const int32_t* blk_cb = coeffs_cb + i * ncoef_c;
+  const int32_t* blk_cr = coeffs_cr + i * ncoef_c;
+  int any_y = 0, any_cb = 0, any_cr = 0;
+  for (int k = 0; k < ncoef; ++k)
+    if (blk_y[k]) { any_y = 1; break; }
+  for (int k = 0; k < ncoef_c; ++k)
+    if (blk_cb[k]) { any_cb = 1; break; }
+  for (int k = 0; k < ncoef_c; ++k)
+    if (blk_cr[k]) { any_cr = 1; break; }
+  enc.encode(cx.res.cbf_chroma, any_cb);
+  enc.encode(cx.res.cbf_chroma, any_cr);
+  enc.encode(cx.cbf_luma[1], any_y);
+  // transform_unit: luma residual, then Cb, then Cr (7.3.8.10)
+  if (any_y)
+    residual_encode(enc, cx.res, blk_y, lg2, 0, spec_scan_idx(lg2, mode));
+  int cscan = chroma_scan_idx(lg2c, modes_c[i]);
+  if (any_cb) residual_encode(enc, cx.res, blk_cb, lg2c, 1, cscan);
+  if (any_cr) residual_encode(enc, cx.res, blk_cr, lg2c, 2, cscan);
+  return 0;
+}
+
+int decode_cu420(CabacDecoder& dec, SliceCtxs& cx, int32_t* coeffs_y,
+                 int32_t* modes_y, int32_t* coeffs_cb, int32_t* coeffs_cr,
+                 int32_t* modes_c, int64_t nbx, int64_t cy, int64_t cx_,
+                 int lg2) {
+  int64_t i = cy * nbx + cx_;
+  int ncoef = (1 << lg2) * (1 << lg2);
+  int lg2c = lg2 - 1;
+  int ncoef_c = (1 << lg2c) * (1 << lg2c);
+  if (!dec.decode(cx.part_mode)) return 5;
+  int32_t a = cx_ > 0 ? modes_y[i - 1] : 1;
+  int32_t b = (cy > 0 && (cy & 1)) ? modes_y[i - nbx] : 1;
+  int32_t m[3];
+  slice_mpm_list(a, b, m);
+  int32_t mode;
+  if (dec.decode(cx.prev_intra)) {
+    int idx = 0;
+    if (dec.bypass()) idx = 1 + dec.bypass();
+    mode = m[idx];
+  } else {
+    int32_t rem = static_cast<int32_t>(dec.bypass_bits(5));
+    int32_t s[3] = {m[0], m[1], m[2]};
+    sort3i(s);
+    mode = rem;
+    for (int k = 0; k < 3; ++k)
+      if (mode >= s[k]) ++mode;
+    if (mode > 34) return 5;
+  }
+  modes_y[i] = mode;
+  int32_t mode_c;
+  if (dec.decode(cx.chroma_pred)) {
+    int32_t c[4];
+    chroma_cand_list(mode, c);
+    mode_c = c[dec.bypass_bits(2)];
+  } else {
+    mode_c = mode;                               // DM_CHROMA
+  }
+  modes_c[i] = mode_c;
+  int any_cb = dec.decode(cx.res.cbf_chroma);
+  int any_cr = dec.decode(cx.res.cbf_chroma);
+  int any_y = dec.decode(cx.cbf_luma[1]);
+  int32_t* blk_y = coeffs_y + i * ncoef;
+  int32_t* blk_cb = coeffs_cb + i * ncoef_c;
+  int32_t* blk_cr = coeffs_cr + i * ncoef_c;
+  if (any_y) {
+    int rcio = residual_decode(dec, cx.res, blk_y, lg2, 0,
+                               spec_scan_idx(lg2, mode));
+    if (rcio) return rcio;
+  } else {
+    std::memset(blk_y, 0, sizeof(int32_t) * ncoef);
+  }
+  int cscan = chroma_scan_idx(lg2c, mode_c);
+  if (any_cb) {
+    int rcio = residual_decode(dec, cx.res, blk_cb, lg2c, 1, cscan);
+    if (rcio) return rcio;
+  } else {
+    std::memset(blk_cb, 0, sizeof(int32_t) * ncoef_c);
+  }
+  if (any_cr) {
+    int rcio = residual_decode(dec, cx.res, blk_cr, lg2c, 2, cscan);
+    if (rcio) return rcio;
+  } else {
+    std::memset(blk_cr, 0, sizeof(int32_t) * ncoef_c);
+  }
+  return 0;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -1165,6 +1326,110 @@ int32_t nhc_decode_slice(const uint8_t* data, int64_t nbytes, int64_t nby,
   return dec.overrun() ? 3 : 0;
 }
 
+// 4:2:0 spec-syntax slice: like nhc_encode_slice plus the Cb/Cr
+// transform units and intra_chroma_pred_mode per CU.  coeffs_cb/cr:
+// (nby*nbx, N/2, N/2) raster blocks on the SAME CU grid; modes_c: the
+// shared per-CU chroma mode (the spec codes one mode for both chroma
+// components).  Returns payload bytes, -1 (cap), -2 (bad args), or
+// -3 (a chroma mode is not representable: it is neither the CU's luma
+// mode (DM) nor in the substituted {planar, ver, hor, dc} list).
+int64_t nhc_encode_slice420(const int32_t* coeffs_y, const int32_t* modes_y,
+                            const int32_t* coeffs_cb,
+                            const int32_t* coeffs_cr, const int32_t* modes_c,
+                            int64_t nby, int64_t nbx, int32_t lg2,
+                            int32_t qp, uint8_t* out, int64_t cap) {
+  // lg2 >= 3: chroma TB = N/2 >= 4 (log2TrafoSizeC >= 2, spec floor)
+  if (lg2 < 3 || lg2 > 5 || nby <= 0 || nbx <= 0) return -2;
+  for (int64_t i = 0; i < nby * nbx; ++i) {
+    if (modes_y[i] < 0 || modes_y[i] > 34) return -2;
+    if (modes_c[i] < 0 || modes_c[i] > 34) return -2;
+    if (chroma_pred_value(modes_y[i], modes_c[i]) < 0) return -3;
+  }
+  std::vector<uint8_t> buf;
+  buf.reserve(static_cast<size_t>(nby) * nbx * 12 + 64);
+
+  HdrWriter hw{&buf};
+  hw.put(1, 1);                 // first_slice_segment_in_pic_flag
+  hw.put(0, 1);                 // no_output_of_prior_pics_flag
+  hw.ue(0);                     // slice_pic_parameter_set_id
+  hw.ue(2);                     // slice_type = I
+  hw.se(qp - 26);               // slice_qp_delta
+  hw.byte_align();
+
+  SliceCtxs cx;
+  cx.init(qp);
+  CabacEncoder enc(&buf);
+  int64_t ctb_rows = (nby + 1) >> 1, ctb_cols = (nbx + 1) >> 1;
+  int64_t n_ctu = ctb_rows * ctb_cols;
+  for (int64_t t = 0; t < n_ctu; ++t) {
+    int64_t ty = t / ctb_cols, tx = t % ctb_cols;
+    bool inside = (2 * ty + 2 <= nby) && (2 * tx + 2 <= nbx);
+    if (inside) {
+      int ctx = (tx > 0 ? 1 : 0) + (ty > 0 ? 1 : 0);
+      enc.encode(cx.split_cu[ctx], 1);
+    }
+    const int64_t qy[4] = {0, 0, 1, 1}, qx[4] = {0, 1, 0, 1};
+    for (int q = 0; q < 4; ++q) {
+      int64_t cy = 2 * ty + qy[q], cxx = 2 * tx + qx[q];
+      if (cy >= nby || cxx >= nbx) continue;
+      int rc = encode_cu420(enc, cx, coeffs_y, modes_y, coeffs_cb,
+                            coeffs_cr, modes_c, nbx, cy, cxx, lg2);
+      if (rc) return rc;
+    }
+    enc.terminate(t + 1 == n_ctu ? 1 : 0);
+  }
+  enc.finish();
+  if (static_cast<int64_t>(buf.size()) > cap) return -1;
+  std::memcpy(out, buf.data(), buf.size());
+  return static_cast<int64_t>(buf.size());
+}
+
+// Decode a 4:2:0 spec-syntax slice.  Returns 0 ok, >0 corrupt.
+int32_t nhc_decode_slice420(const uint8_t* data, int64_t nbytes, int64_t nby,
+                            int64_t nbx, int32_t lg2, int32_t* coeffs_y,
+                            int32_t* modes_y, int32_t* coeffs_cb,
+                            int32_t* coeffs_cr, int32_t* modes_c,
+                            int32_t* qp_out) {
+  if (lg2 < 3 || lg2 > 5 || nby <= 0 || nbx <= 0) return 2;
+
+  HdrReader hr{data, static_cast<size_t>(nbytes)};
+  if (hr.bit() != 1) return 6;
+  hr.bit();
+  if (hr.ue() != 0) return 6;
+  if (hr.ue() != 2) return 6;
+  int32_t qp = 26 + hr.se();
+  if (hr.fail || qp < 0 || qp > 51) return 6;
+  if (!hr.byte_align()) return 6;
+  *qp_out = qp;
+
+  SliceCtxs cx;
+  cx.init(qp);
+  size_t off = hr.pos >> 3;
+  CabacDecoder dec(data + off, static_cast<size_t>(nbytes) - off);
+  int64_t ctb_rows = (nby + 1) >> 1, ctb_cols = (nbx + 1) >> 1;
+  int64_t n_ctu = ctb_rows * ctb_cols;
+  for (int64_t t = 0; t < n_ctu; ++t) {
+    int64_t ty = t / ctb_cols, tx = t % ctb_cols;
+    bool inside = (2 * ty + 2 <= nby) && (2 * tx + 2 <= nbx);
+    if (inside) {
+      int ctx = (tx > 0 ? 1 : 0) + (ty > 0 ? 1 : 0);
+      if (!dec.decode(cx.split_cu[ctx])) return 5;
+    }
+    const int64_t qy[4] = {0, 0, 1, 1}, qx[4] = {0, 1, 0, 1};
+    for (int q = 0; q < 4; ++q) {
+      int64_t cy = 2 * ty + qy[q], cxx = 2 * tx + qx[q];
+      if (cy >= nby || cxx >= nbx) continue;
+      int rcio = decode_cu420(dec, cx, coeffs_y, modes_y, coeffs_cb,
+                              coeffs_cr, modes_c, nbx, cy, cxx, lg2);
+      if (rcio) return rcio;
+      if (dec.overrun()) return 3;
+    }
+    int term = dec.terminate();
+    if (term != (t + 1 == n_ctu ? 1 : 0)) return 4;
+  }
+  return dec.overrun() ? 3 : 0;
+}
+
 // Encode nb transform blocks (raster layout inside each block) with
 // the spec engine.  scan_idx: per-block 0/1/2.  Returns payload size,
 // or -1 if cap is too small.  qp seeds the context initialization.
@@ -1229,6 +1494,6 @@ int32_t nhc_decode_plane(const uint8_t* data, int64_t nbytes, int64_t nb,
   return 0;
 }
 
-int32_t nhc_version() { return 2; }
+int32_t nhc_version() { return 3; }
 
 }  // extern "C"

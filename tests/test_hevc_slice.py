@@ -180,14 +180,17 @@ def group_idx(v):
 
 
 SIG_CTX_4X4 = [0, 1, 4, 5, 2, 3, 4, 5, 6, 6, 8, 8, 7, 7, 8, 8]
+INIT_CBF_CHROMA = 94
+INIT_CHROMA_PRED = 63
 
 
-def sig_ctx(xc, yc, lg2, prev_csbf, scan_idx):
-    """9.3.4.2.5 (luma only: cIdx == 0)."""
+def sig_ctx(xc, yc, lg2, prev_csbf, scan_idx, c_idx=0):
+    """9.3.4.2.5 (cIdx == 0 luma set; cIdx > 0 the 27+ chroma set)."""
     if lg2 == 2:
-        return SIG_CTX_4X4[(yc << 2) + xc]
+        base = SIG_CTX_4X4[(yc << 2) + xc]
+        return base if c_idx == 0 else 27 + base
     if xc == 0 and yc == 0:
-        return 0
+        return 0 if c_idx == 0 else 27
     xp, yp = xc & 3, yc & 3
     if prev_csbf == 0:
         sig = 2 if xp + yp == 0 else (1 if xp + yp < 3 else 0)
@@ -197,10 +200,13 @@ def sig_ctx(xc, yc, lg2, prev_csbf, scan_idx):
         sig = 2 if xp == 0 else (1 if xp == 1 else 0)
     else:
         sig = 2
-    if (xc >> 2) + (yc >> 2) > 0:
-        sig += 3
-    sig += (9 if scan_idx == 0 else 15) if lg2 == 3 else 21
-    return sig
+    if c_idx == 0:
+        if (xc >> 2) + (yc >> 2) > 0:
+            sig += 3
+        sig += (9 if scan_idx == 0 else 15) if lg2 == 3 else 21
+        return sig
+    sig += 9 if lg2 == 3 else 12
+    return 27 + sig
 
 
 def mpm_list(a, b):
@@ -251,8 +257,11 @@ class ExpGolombReader:
         return (u + 1) >> 1 if u & 1 else -(u >> 1)
 
 
-def parse_residual(dec, ctxs, lg2, scan_idx):
-    """7.3.8.11 residual_coding (cIdx = 0), returns (size, size) array."""
+def parse_residual(dec, ctxs, lg2, scan_idx, c_idx=0):
+    """7.3.8.11 residual_coding, returns (size, size) array.
+
+    c_idx selects the luma (0) or chroma (>0) context groups at every
+    context-coded syntax element; Cb and Cr share the chroma groups."""
     size = 1 << lg2
     coeffs = np.zeros((size, size), np.int64)
     scan4 = make_scan(scan_idx, 2)
@@ -267,8 +276,12 @@ def parse_residual(dec, ctxs, lg2, scan_idx):
 
     # last_sig_coeff prefixes (9.3.4.2.3 ctx selection)
     g_max = (lg2 << 1) - 1
-    ctx_off = 3 * (lg2 - 2) + ((lg2 - 1) >> 2)
-    ctx_shift = (lg2 + 1) >> 2
+    if c_idx == 0:
+        ctx_off = 3 * (lg2 - 2) + ((lg2 - 1) >> 2)
+        ctx_shift = (lg2 + 1) >> 2
+    else:
+        ctx_off = 15
+        ctx_shift = lg2 - 2
     gx = 0
     while gx < g_max and dec.decode(ctxs["last_x"][ctx_off + (gx >> ctx_shift)]):
         gx += 1
@@ -302,7 +315,8 @@ def parse_residual(dec, ctxs, lg2, scan_idx):
         below = int(csbf[ys + 1, xs]) if ys + 1 < ng else 0
         infer_dc = 0
         if 0 < sb < last_sub:
-            coded = dec.decode(ctxs["csbf"][1 if (right or below) else 0])
+            coded = dec.decode(ctxs["csbf"][(1 if (right or below) else 0)
+                                            + (2 if c_idx else 0)])
             csbf[ys, xs] = coded
             infer_dc = 1
             if not coded:
@@ -322,14 +336,15 @@ def parse_residual(dec, ctxs, lg2, scan_idx):
                 sig = 1
             else:
                 sig = dec.decode(
-                    ctxs["sig"][sig_ctx(x, y, lg2, prev_csbf, scan_idx)]
+                    ctxs["sig"][sig_ctx(x, y, lg2, prev_csbf, scan_idx,
+                                        c_idx)]
                 )
                 n_coded_sig += sig
             if sig:
                 sig_pos.append(k)
 
         n_sig = len(sig_pos)
-        ctx_set = 2 if (sb > 0) else 0
+        ctx_set = 2 if (sb > 0 and c_idx == 0) else 0
         if prev_gt1_ctx == 0:
             ctx_set += 1
         c1 = 1
@@ -337,7 +352,8 @@ def parse_residual(dec, ctxs, lg2, scan_idx):
         first_gt1 = -1
         abs_lv = [1] * n_sig
         for i in range(n_gt1):
-            if dec.decode(ctxs["gt1"][ctx_set * 4 + c1]):
+            if dec.decode(ctxs["gt1"][(16 if c_idx else 0)
+                                      + ctx_set * 4 + c1]):
                 abs_lv[i] = 2
                 c1 = 0
                 if first_gt1 < 0:
@@ -345,7 +361,8 @@ def parse_residual(dec, ctxs, lg2, scan_idx):
             elif 0 < c1 < 3:
                 c1 += 1
         prev_gt1_ctx = c1
-        if first_gt1 >= 0 and dec.decode(ctxs["gt2"][ctx_set]):
+        if first_gt1 >= 0 and dec.decode(ctxs["gt2"][(4 if c_idx else 0)
+                                                     + ctx_set]):
             abs_lv[first_gt1] = 3
         negs = [dec.bypass() for _ in range(n_sig)]
         rice = 0
@@ -441,6 +458,103 @@ def spec_parse_slice(data: bytes, nby: int, nbx: int, n: int):
     return levels, modes.reshape(-1), qp
 
 
+def chroma_cand_list(luma_mode):
+    """8.4.3 candModeListC with angular-34 substitution."""
+    c = [0, 26, 10, 1]
+    return [34 if v == luma_mode else v for v in c]
+
+
+def spec_parse_slice_420(data: bytes, nby: int, nbx: int, n: int):
+    """Full 4:2:0 slice parse (chroma_format_idc == 1): the luma walk
+    of spec_parse_slice plus intra_chroma_pred_mode (9.3.3.8 + 8.4.3)
+    and the Cb/Cr transform units (7.3.8.8 cbf order, 7.3.8.10 residual
+    order, chroma scanIdx mode-dependent only at log2TrafoSizeC == 2).
+    Returns (levels_y, modes_y, levels_cb, levels_cr, modes_c, qp)."""
+    lg2 = n.bit_length() - 1
+    lg2c = lg2 - 1
+    nc = n // 2
+    hr = ExpGolombReader(data)
+    assert hr.bit() == 1                    # first_slice_segment_in_pic
+    hr.bit()                                # no_output_of_prior_pics
+    assert hr.ue() == 0                     # slice_pic_parameter_set_id
+    assert hr.ue() == 2                     # slice_type == I
+    qp = 26 + hr.se()
+    assert hr.bit() == 1                    # byte_alignment
+    while hr.pos & 7:
+        assert hr.bit() == 0
+
+    ctxs = {
+        "split": [ctx_init(v, qp) for v in INIT_SPLIT_CU],
+        "part": ctx_init(INIT_PART_MODE, qp),
+        "prev": ctx_init(INIT_PREV_INTRA, qp),
+        "chroma_pred": ctx_init(INIT_CHROMA_PRED, qp),
+        "cbf": [ctx_init(v, qp) for v in INIT_CBF_LUMA],
+        "cbf_c": ctx_init(INIT_CBF_CHROMA, qp),
+        "last_x": [ctx_init(v, qp) for v in INIT_LAST],
+        "last_y": [ctx_init(v, qp) for v in INIT_LAST],
+        "csbf": [ctx_init(v, qp) for v in INIT_CSBF],
+        "sig": [ctx_init(v, qp) for v in INIT_SIG],
+        "gt1": [ctx_init(v, qp) for v in INIT_GT1],
+        "gt2": [ctx_init(v, qp) for v in INIT_GT2],
+    }
+    dec = SpecDecoder(data[hr.pos >> 3 :])
+    modes = np.full((nby, nbx), -1, np.int64)
+    modes_c = np.full((nby, nbx), -1, np.int64)
+    levels = np.zeros((nby * nbx, n, n), np.int64)
+    levels_cb = np.zeros((nby * nbx, nc, nc), np.int64)
+    levels_cr = np.zeros((nby * nbx, nc, nc), np.int64)
+    ctb_rows, ctb_cols = (nby + 1) >> 1, (nbx + 1) >> 1
+    for t in range(ctb_rows * ctb_cols):
+        ty, tx = divmod(t, ctb_cols)
+        if 2 * ty + 2 <= nby and 2 * tx + 2 <= nbx:
+            ctx = (1 if tx > 0 else 0) + (1 if ty > 0 else 0)
+            assert dec.decode(ctxs["split"][ctx]) == 1
+        for qy, qx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            cy, cx = 2 * ty + qy, 2 * tx + qx
+            if cy >= nby or cx >= nbx:
+                continue
+            assert dec.decode(ctxs["part"]) == 1      # PART_2Nx2N
+            a = int(modes[cy, cx - 1]) if cx > 0 else 1
+            b = int(modes[cy - 1, cx]) if (cy > 0 and (cy & 1)) else 1
+            m = mpm_list(a, b)
+            if dec.decode(ctxs["prev"]):
+                idx = 0
+                if dec.bypass():
+                    idx = 1 + dec.bypass()
+                mode = m[idx]
+            else:
+                rem = dec.bypass_bits(5)
+                mode = rem
+                for v in sorted(m):
+                    if mode >= v:
+                        mode += 1
+            modes[cy, cx] = mode
+            # intra_chroma_pred_mode: ctx bin 0 -> DM, else 2 FL bins
+            if dec.decode(ctxs["chroma_pred"]):
+                mode_c = chroma_cand_list(mode)[dec.bypass_bits(2)]
+            else:
+                mode_c = mode
+            modes_c[cy, cx] = mode_c
+            # transform_tree depth 0: cbf_cb, cbf_cr then cbf_luma
+            cbf_cb = dec.decode(ctxs["cbf_c"])
+            cbf_cr = dec.decode(ctxs["cbf_c"])
+            cbf_y = dec.decode(ctxs["cbf"][1])
+            i = cy * nbx + cx
+            if cbf_y:
+                levels[i] = parse_residual(
+                    dec, ctxs, lg2, spec_scan_of_mode(lg2, mode)
+                )
+            cscan = spec_scan_of_mode(2, mode_c) if lg2c == 2 else 0
+            if cbf_cb:
+                levels_cb[i] = parse_residual(dec, ctxs, lg2c, cscan, 1)
+            if cbf_cr:
+                levels_cr[i] = parse_residual(dec, ctxs, lg2c, cscan, 2)
+        want_term = 1 if t + 1 == ctb_rows * ctb_cols else 0
+        assert dec.terminate() == want_term
+    return (levels, modes.reshape(-1), levels_cb, levels_cr,
+            modes_c.reshape(-1), qp)
+
+
 # ===========================================================================
 # Tests
 # ===========================================================================
@@ -517,6 +631,99 @@ class TestIndependentParser:
         got_lv, got_md, _ = spec_parse_slice(pay, 3, 4, 8)
         assert np.array_equal(got_lv, lv)
         assert np.array_equal(got_md, md)
+
+
+def _random_chroma(nby, nbx, nc, md_y, seed, density=0.3, mag=20):
+    """Representable chroma data: levels + shared per-CU chroma modes
+    mixing DM with substituted {planar, ver, hor, dc} picks."""
+    rng = np.random.default_rng(seed)
+    nb = nby * nbx
+    cb = np.where(rng.random((nb, nc, nc)) < density,
+                  rng.integers(-mag, mag + 1, (nb, nc, nc)), 0
+                  ).astype(np.int32)
+    cr = np.where(rng.random((nb, nc, nc)) < density,
+                  rng.integers(-mag, mag + 1, (nb, nc, nc)), 0
+                  ).astype(np.int32)
+    md_c = np.empty(nb, np.int32)
+    for i in range(nb):
+        cands = [int(md_y[i])] + chroma_cand_list(int(md_y[i]))
+        md_c[i] = cands[int(rng.integers(0, len(cands)))]
+    return cb, cr, md_c
+
+
+class TestIndependentParser420:
+    @pytest.mark.parametrize("nby,nbx,n,qp", [
+        (4, 6, 8, 22),     # even grid
+        (5, 7, 8, 30),     # odd grid: implicit splits at both edges
+        (3, 3, 16, 38),    # chroma TB 8x8 (no mode-dependent scan)
+        (2, 2, 32, 12),    # chroma TB 16x16, dense levels
+        (1, 1, 8, 22),     # single CU
+    ])
+    def test_spec_parser_decodes_420(self, nby, nbx, n, qp):
+        from nanohevc_tpu.runtime.hevc import encode_slice_hevc_420
+
+        lv, md = _random_plane(nby, nbx, n, seed=nby * 37 + nbx + n)
+        cb, cr, md_c = _random_chroma(nby, nbx, n // 2, md, seed=n + qp)
+        pay = encode_slice_hevc_420(lv, md, cb, cr, md_c, nby, nbx, qp=qp)
+        gy, gmy, gcb, gcr, gmc, gqp = spec_parse_slice_420(
+            pay, nby, nbx, n)
+        assert gqp == qp
+        assert np.array_equal(gmy, md)
+        assert np.array_equal(gmc, md_c)
+        assert np.array_equal(gy, lv)
+        assert np.array_equal(gcb, cb)
+        assert np.array_equal(gcr, cr)
+
+    def test_native_roundtrip_420(self):
+        from nanohevc_tpu.runtime.hevc import (
+            decode_slice_hevc_420,
+            encode_slice_hevc_420,
+        )
+
+        lv, md = _random_plane(3, 5, 8, seed=8)
+        cb, cr, md_c = _random_chroma(3, 5, 4, md, seed=15)
+        pay = encode_slice_hevc_420(lv, md, cb, cr, md_c, 3, 5, qp=30)
+        y2, my2, cb2, cr2, mc2, qp = decode_slice_hevc_420(pay, 3, 5, 8)
+        assert qp == 30
+        assert np.array_equal(y2, lv) and np.array_equal(my2, md)
+        assert np.array_equal(cb2, cb) and np.array_equal(cr2, cr)
+        assert np.array_equal(mc2, md_c)
+
+    def test_unrepresentable_chroma_mode_rejected(self):
+        from nanohevc_tpu.runtime.hevc import encode_slice_hevc_420
+
+        lv, md = _random_plane(2, 2, 8, seed=3)
+        md[:] = 26                       # luma vertical
+        cb = np.zeros((4, 4, 4), np.int32)
+        md_c = np.full(4, 7, np.int32)   # angular-7: not in {0,34,10,1,26}
+        with pytest.raises(ValueError, match="chroma mode"):
+            encode_slice_hevc_420(lv, md, cb, cb, md_c, 2, 2)
+
+    def test_substituted_candidate_34(self):
+        """Luma == a default candidate: slot substitutes angular-34."""
+        from nanohevc_tpu.runtime.hevc import (
+            decode_slice_hevc_420,
+            encode_slice_hevc_420,
+        )
+
+        lv = np.zeros((1, 8, 8), np.int32)
+        cb = np.zeros((1, 4, 4), np.int32)
+        md = np.array([26], np.int32)    # vertical: candList[1] -> 34
+        md_c = np.array([34], np.int32)
+        pay = encode_slice_hevc_420(lv, md, cb, cb, md_c, 1, 1, qp=22)
+        _, _, _, _, mc2, _ = decode_slice_hevc_420(pay, 1, 1, 8)
+        assert mc2[0] == 34
+        gy, gmy, gcb, gcr, gmc, _ = spec_parse_slice_420(pay, 1, 1, 8)
+        assert gmc[0] == 34
+
+    def test_4x4_luma_rejected(self):
+        from nanohevc_tpu.runtime.hevc import encode_slice_hevc_420
+
+        lv = np.zeros((1, 4, 4), np.int32)
+        cb = np.zeros((1, 2, 2), np.int32)
+        with pytest.raises(ValueError):
+            encode_slice_hevc_420(lv, np.zeros(1, np.int32), cb, cb,
+                                  np.zeros(1, np.int32), 1, 1)
 
 
 class TestSliceRoundTrip:

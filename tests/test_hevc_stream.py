@@ -17,13 +17,23 @@ from nanohevc_tpu.runtime.hevc_stream import (
     NAL_PPS,
     NAL_SPS,
     NAL_VPS,
+    HevcStreamWriter,
+    chroma_qp_offset_for,
+    chroma_qpc,
     export_hevc_stream,
+    export_hevc_stream_420,
     wrap_nal_hevc,
     write_pps_hevc,
     write_sps_hevc,
     write_vps_hevc,
 )
-from tests.test_hevc_slice import ExpGolombReader, spec_parse_slice
+from tests.test_hevc_slice import (
+    ExpGolombReader,
+    _random_chroma,
+    _random_plane,
+    spec_parse_slice,
+    spec_parse_slice_420,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -85,11 +95,17 @@ def parse_ptl(r: ExpGolombReader) -> dict:
     out["interlaced"] = r.bit()
     out["non_packed"] = r.bit()
     out["frame_only"] = r.bit()
-    # profile_idc 4: RExt constraint flags then reserved 34 + inbld
-    flags = [r.bit() for _ in range(9)]
-    out["monochrome_constraint"] = flags[5]
-    for _ in range(34):
-        assert r.bit() == 0
+    if out["profile_idc"] == 4 or (out["compat"] >> (31 - 4)) & 1:
+        # RExt constraint flags then reserved 34 + inbld
+        flags = [r.bit() for _ in range(9)]
+        out["monochrome_constraint"] = flags[5]
+        for _ in range(34):
+            assert r.bit() == 0
+    else:
+        # Main/Main10: general_reserved_zero_43bits
+        out["monochrome_constraint"] = 0
+        for _ in range(43):
+            assert r.bit() == 0
     r.bit()                                       # inbld/reserved
     out["level_idc"] = sum(r.bit() << (7 - i) for i in range(8))
     return out
@@ -151,7 +167,8 @@ def parse_pps(rbsp: bytes) -> dict:
     assert r.bit() == 0                           # constrained intra
     assert r.bit() == 0                           # transform skip
     out["cu_qp_delta"] = r.bit()
-    assert r.se() == 0 and r.se() == 0            # cb/cr offsets
+    out["cb_qp_offset"] = r.se()
+    out["cr_qp_offset"] = r.se()
     assert r.bit() == 0                           # slice chroma offsets
     assert r.bit() == 0 and r.bit() == 0          # weighted pred/bipred
     assert r.bit() == 0                           # transquant bypass
@@ -263,6 +280,29 @@ class TestFullStream:
         assert np.array_equal(got_md, md)
         assert np.array_equal(got_lv, lv)
 
+    def test_multi_frame_stream(self):
+        """N IDR access units in one Annex B stream: one param-set
+        group, then per-frame slices; frames 0 and N-1 decode
+        bit-exactly via the independent parser."""
+        h, w, n, qp, frames = 64, 96, 8, 25, 4
+        nby, nbx = h // n, w // n
+        writer = HevcStreamWriter(h, w, n, qp)
+        payloads = []
+        for f in range(frames):
+            lv, md = _random_plane(nby, nbx, n, seed=900 + f)
+            writer.add_frame(lv, md)
+            payloads.append((lv, md))
+        nals = split_annexb(writer.bytes())
+        assert [t for t, _ in nals] == (
+            [NAL_VPS, NAL_SPS, NAL_PPS] + [NAL_IDR_W_RADL] * frames
+        )
+        for fi in (0, frames - 1):
+            got_lv, got_md, got_qp = spec_parse_slice(
+                nals[3 + fi][1], nby, nbx, n)
+            assert got_qp == qp
+            assert np.array_equal(got_md, payloads[fi][1])
+            assert np.array_equal(got_lv, payloads[fi][0])
+
     def test_real_frame_export(self):
         """A real closed-loop luma plane exports and parses."""
         import jax.numpy as jnp
@@ -290,3 +330,79 @@ class TestFullStream:
         assert got_qp == qp
         assert np.array_equal(got_md, md)
         assert np.array_equal(got_lv, raster)
+
+
+class TestChromaQpOffset:
+    def test_identity_offset_exists_for_every_qp(self):
+        """The PPS offset must steer Table 8-10 back to QpC == QpY."""
+        for qp in range(52):
+            d = chroma_qp_offset_for(qp)
+            assert 0 <= d <= 6
+            assert chroma_qpc(min(57, qp + d)) == qp
+
+    def test_map_spot_values(self):
+        # Table 8-10 spot checks
+        assert chroma_qpc(29) == 29
+        assert chroma_qpc(30) == 29
+        assert chroma_qpc(35) == 33
+        assert chroma_qpc(43) == 37
+        assert chroma_qpc(44) == 38
+
+
+class TestFullStream420:
+    @pytest.mark.parametrize("h,w,n,qp", [(64, 96, 8, 22), (72, 104, 8, 30),
+                                          (96, 96, 16, 35),
+                                          (128, 128, 32, 27)])
+    def test_420_stream_parses_end_to_end(self, h, w, n, qp):
+        nby, nbx = -(-h // n), -(-w // n)
+        lv, md = _random_plane(nby, nbx, n, seed=h + w + n)
+        cb, cr, md_c = _random_chroma(nby, nbx, n // 2, md, seed=qp)
+        stream = export_hevc_stream_420(lv, md, cb, cr, md_c, h, w, n, qp)
+        nals = split_annexb(stream)
+        assert [t for t, _ in nals] == [NAL_VPS, NAL_SPS, NAL_PPS,
+                                        NAL_IDR_W_RADL]
+        sps = parse_sps(nals[1][1])
+        assert sps["chroma_format_idc"] == 1
+        assert sps["ptl"]["profile_idc"] == 1     # Main at 8-bit
+        # conformance window offsets are in chroma units for 4:2:0
+        assert sps["win"][1] * 2 == sps["pic_width"] - w
+        assert sps["win"][3] * 2 == sps["pic_height"] - h
+        pps = parse_pps(nals[2][1])
+        d = chroma_qp_offset_for(qp)
+        assert pps["cb_qp_offset"] == d and pps["cr_qp_offset"] == d
+        # the decoder-side chroma QP equals the luma QP the framework
+        # quantized chroma with
+        assert chroma_qpc(min(57, qp + d)) == qp
+        gy, gmy, gcb, gcr, gmc, gqp = spec_parse_slice_420(
+            nals[3][1], nby, nbx, n)
+        assert gqp == qp
+        assert np.array_equal(gmy, md) and np.array_equal(gmc, md_c)
+        assert np.array_equal(gy, lv)
+        assert np.array_equal(gcb, cb) and np.array_equal(gcr, cr)
+
+    def test_multi_frame_420_stream(self):
+        h, w, n, qp, frames = 64, 96, 8, 30, 3
+        nby, nbx = h // n, w // n
+        writer = HevcStreamWriter(h, w, n, qp, chroma420=True)
+        payloads = []
+        for f in range(frames):
+            lv, md = _random_plane(nby, nbx, n, seed=70 + f)
+            cb, cr, md_c = _random_chroma(nby, nbx, n // 2, md, seed=f)
+            writer.add_frame(lv, md, cb, cr, md_c)
+            payloads.append((lv, md, cb, cr, md_c))
+        nals = split_annexb(writer.bytes())
+        assert len(nals) == 3 + frames
+        for fi in (0, frames - 1):
+            gy, gmy, gcb, gcr, gmc, gqp = spec_parse_slice_420(
+                nals[3 + fi][1], nby, nbx, n)
+            lv, md, cb, cr, md_c = payloads[fi]
+            assert gqp == qp
+            assert np.array_equal(gy, lv) and np.array_equal(gmy, md)
+            assert np.array_equal(gcb, cb) and np.array_equal(gcr, cr)
+            assert np.array_equal(gmc, md_c)
+
+    def test_main10_profile_at_10bit(self):
+        sps = parse_sps(write_sps_hevc(64, 64, 8, bit_depth=10,
+                                       chroma_format_idc=1))
+        assert sps["ptl"]["profile_idc"] == 2
+        assert sps["bit_depth_luma"] == 10
