@@ -31,6 +31,12 @@ class EncoderConfig:
     is_intra: bool = True
     mode_set: str = "dc_planar"
     decision: str = "energy"
+    # Mode set for the chroma planes; None inherits mode_set.  "dc" and
+    # "planar" are fixed single-mode sets (no search).  The 4:2:0
+    # standard-stream export needs chroma modes the spec can signal —
+    # one shared intra_chroma_pred_mode per CU — which "dc"/"planar"
+    # guarantee (always in the 8.4.3 candidate list or covered by DM).
+    chroma_mode_set: str | None = None
     # Coefficient scan: "diag"/"horizontal"/"vertical" (spec 6.5.3
     # group orders applied uniformly) or "mode" (spec 7.4.9.11
     # mode-dependent selection at 4x4/8x8, diag above).
@@ -81,8 +87,13 @@ class EncoderConfig:
     def __post_init__(self):
         if self.block_size not in (4, 8, 16, 32):
             raise ValueError(f"block_size must be 4/8/16/32, got {self.block_size}")
-        if self.mode_set not in ("dc_planar", "all"):
+        if self.mode_set not in ("dc_planar", "all", "dc", "planar"):
             raise ValueError(f"unknown mode_set: {self.mode_set}")
+        if self.chroma_mode_set not in (None, "dc_planar", "all", "dc",
+                                        "planar"):
+            raise ValueError(
+                f"unknown chroma_mode_set: {self.chroma_mode_set}"
+            )
         if self.decision not in ("energy", "satd", "sad", "rd"):
             raise ValueError(f"unknown decision: {self.decision}")
         if self.scan not in ("diag", "horizontal", "vertical", "mode"):
@@ -103,6 +114,10 @@ class EncoderConfig:
     def chroma_block_size(self) -> int:
         """U/V block size: half of luma, floor 4 (parity: __main__.py:156-158)."""
         return max(4, self.block_size // 2)
+
+    def chroma_modes(self) -> str:
+        """The mode set the chroma planes encode with."""
+        return self.chroma_mode_set or self.mode_set
 
     def use_dst(self, n: int, is_luma: bool) -> bool:
         """DST-VII applies to 4x4 luma intra blocks only (HEVC rule)."""

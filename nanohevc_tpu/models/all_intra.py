@@ -157,6 +157,17 @@ def decide_modes(
         refs_f if (flags is not None and flags[PLANAR_MODE]) else refs, n
     )
 
+    if mode_set in ("dc", "planar"):
+        # Fixed single mode — no search, no cost evaluation.  The 4:2:0
+        # standard-stream export uses this for chroma: the spec codes
+        # ONE intra_chroma_pred_mode per CU covering both components,
+        # and DC/planar are always representable (in the 8.4.3
+        # candidate list, or via DM when the luma mode equals them).
+        nb = blocks.shape[0]
+        if mode_set == "dc":
+            return dc, jnp.full((nb,), DC_MODE, jnp.int32)
+        return pl, jnp.full((nb,), PLANAR_MODE, jnp.int32)
+
     def rd(preds):
         return _rd_costs(
             blocks, preds, n, qp, use_dst, bit_depth, dequant_rescale,
@@ -464,7 +475,7 @@ def supports_mode_search_fast_path(config, n: int, width: int,
                                    is_luma: bool = True) -> bool:
     """True when encode_plane_fast_modes covers this combo."""
     return (
-        config.mode_set == "all"
+        (config.mode_set if is_luma else config.chroma_modes()) == "all"
         and config.decision == "satd"
         and config.is_intra
         and not (config.intra_smoothing and is_luma)  # smoothing -> XLA path
@@ -483,7 +494,7 @@ def supports_fast_path(config, n: int, width: int, is_luma: bool = True) -> bool
     from nanohevc_tpu.kernels.slab_pipeline import slab_supported
 
     return (
-        config.mode_set == "dc_planar"
+        (config.mode_set if is_luma else config.chroma_modes()) == "dc_planar"
         and config.decision == "energy"
         and config.is_intra
         and not (config.intra_smoothing and is_luma)  # smoothing -> XLA path
@@ -610,7 +621,7 @@ def encode_frame_full(frame: Frame, config: EncoderConfig) -> Tuple[Frame, dict]
         else:
             fn = _jit_full(
                 bs,
-                config.mode_set,
+                config.mode_set if is_luma else config.chroma_modes(),
                 config.decision,
                 config.use_dst(bs, is_luma),
                 config.is_intra,

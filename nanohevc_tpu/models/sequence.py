@@ -128,15 +128,6 @@ def encode_sequence(
         from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
         from nanohevc_tpu.ops.metrics import psnr as _psnr
 
-        if config.rdoq:
-            # same fail-fast contract as encode_frame_closed_loop: the
-            # wavefront quantizer is plain deadzone, so a silent ignore
-            # would misreport what was encoded
-            raise ValueError(
-                "rdoq is not implemented in the closed-loop pipeline; "
-                "encode open-loop (closed_loop=False) for RDOQ"
-            )
-
         def make_cl_fn(is_luma):
             n = config.block_size if is_luma else config.chroma_block_size()
 
@@ -147,7 +138,8 @@ def encode_sequence(
                     planes,
                     qp,
                     n=n,
-                    mode_set=config.mode_set,
+                    mode_set=(config.mode_set if is_luma
+                              else config.chroma_modes()),
                     decision=config.decision,
                     use_dst=config.use_dst(n, is_luma),
                     bit_depth=config.bit_depth,
@@ -159,6 +151,7 @@ def encode_sequence(
                     sao=config.sao,
                     sao_ctb=config.sao_ctb,
                     sao_tile=config.sao_tile,
+                    rdoq=config.rdoq,
                 )
                 out["psnr"] = jax.vmap(_psnr)(planes, out["recon"])
                 return out

@@ -186,10 +186,32 @@ def _write_bufs_skewed(s_bot, r_sp, rec, d, ok, bx, n, nby, nbx, rep_w, rep_h):
 
 
 def _code_residual(blocks_slot, pred, qp, n, use_dst, bit_depth,
-                   dequant_rescale):
+                   dequant_rescale, rdoq=False, scan="diag", modes=None,
+                   rd_lambda_scale=1.0):
     res = blocks_slot - pred
     coeff = ops.forward_transform(res, use_dst)
     levels = ops.quantize(coeff, qp, n, True)
+    if rdoq:
+        # RD-optimal level adjustment (ops/rdoq.py) INSIDE the loop:
+        # the adjusted levels feed the dequant/reconstruct below, so
+        # the wavefront's neighbor references — and therefore the
+        # decoder — see exactly the levels the stream carries.  Same
+        # two-stage pass as the open-loop path (all_intra.py), applied
+        # per diagonal slot; the rate model prices the stream's actual
+        # scan (mode-dependent included).
+        from nanohevc_tpu.ops.rdoq import rd_lambda_calibrated
+
+        lam = rd_lambda_calibrated(
+            qp, n, use_dst, dequant_rescale, rd_lambda_scale
+        )
+        gain = jnp.broadcast_to(ops.rdoq_gain(n, use_dst), coeff.shape)
+        packed = ops.rdoq_levels(
+            ops.scan_pack(coeff, scan, modes=modes),
+            ops.scan_pack(levels, scan, modes=modes),
+            ops.scan_pack(gain, scan, modes=modes),
+            qp, n, lam, dequant_rescale=dequant_rescale,
+        )
+        levels = ops.scan_unpack(packed, scan, modes=modes)
     deq = ops.dequantize(levels, qp, n, rescale=dequant_rescale)
     rec = ops.inverse_transform(deq, use_dst)
     recon = jnp.clip(pred + rec, 0, (1 << bit_depth) - 1)
@@ -216,6 +238,8 @@ def encode_planes_closed_loop(
     allow_fast: bool | None = None,
     unroll: int = 1,
     kernel_split: tuple[int | None, int | None, int | None] | None = None,
+    rdoq: bool = False,
+    rd_lambda_scale: float = 1.0,
 ):
     """Batched wavefront encode: (B, H, W) planes, reconstruction-fed.
 
@@ -274,9 +298,16 @@ def encode_planes_closed_loop(
     # at batch >= 2 the vmapped XLA scan overtakes it (MXU einsum
     # transforms amortize across the widened diagonal), so auto-select
     # by batch.  Both paths are bit-exact to the sequential oracle.
+    if rdoq and allow_fast:
+        raise ValueError(
+            "rdoq runs on the closed-loop XLA scan path (the fused "
+            "wavefront kernels quantize with plain deadzone); pass "
+            "allow_fast=False or None"
+        )
     if allow_fast is None:
         allow_fast = (
             not intra_smoothing       # smoothing lives on the XLA path
+            and not rdoq              # RDOQ lives on the XLA path
             and (
                 # dc_planar kernel: wins only single-frame (bench row 12)
                 (b == 1
@@ -366,7 +397,9 @@ def encode_planes_closed_loop(
                 mode_bits=mb,
             )
             levels, rec_blocks = _code_residual(
-                blocks_slot, pred, qp, n, use_dst, bit_depth, dequant_rescale
+                blocks_slot, pred, qp, n, use_dst, bit_depth,
+                dequant_rescale, rdoq=rdoq, scan=scan, modes=modes,
+                rd_lambda_scale=rd_lambda_scale,
             )
             s_bot, r_sp = _write_bufs_skewed(
                 s_bot, r_sp, rec_blocks, d, ok, bx, n, nby, nbx, rep_w, rep_h
@@ -472,14 +505,6 @@ def encode_frame_closed_loop(frame, config) -> tuple:
     from nanohevc_tpu.frame import Frame
     from nanohevc_tpu.runtime.bitstream import assemble_bitstream
 
-    if config.rdoq:
-        # the closed-loop wavefront quantizes inside the kernel/scan
-        # (plain deadzone); silently ignoring the flag would misreport
-        # what was encoded — fail fast instead (advisor round 3)
-        raise ValueError(
-            "rdoq is not implemented in the closed-loop pipeline; "
-            "use the open-loop full pipeline (encode_frame_full)"
-        )
     recon = Frame.zeros(frame.height, frame.width, dtype=np.int16)
     plane_levels = {}
     plane_modes = {}
@@ -496,7 +521,7 @@ def encode_frame_closed_loop(frame, config) -> tuple:
             jnp.asarray(src.data.astype(np.int32)),
             jnp.int32(config.qp),
             n=bs,
-            mode_set=config.mode_set,
+            mode_set=config.mode_set if is_luma else config.chroma_modes(),
             decision=config.decision,
             use_dst=config.use_dst(bs, is_luma),
             bit_depth=config.bit_depth,
@@ -508,6 +533,7 @@ def encode_frame_closed_loop(frame, config) -> tuple:
             sao=config.sao,
             sao_ctb=config.sao_ctb,
             sao_tile=config.sao_tile,
+            rdoq=config.rdoq,
         )
         dst.data[...] = np.asarray(out["recon"]).astype(np.int16)
         plane_levels[name] = (np.asarray(out["levels"]), bs)

@@ -46,6 +46,10 @@ def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
     n = config.block_size if is_luma else config.chroma_block_size()
     width = planes.shape[-1]
 
+    # rdo_cbf / rdoq run RD stages only the XLA path has — a fused
+    # fast path would silently drop them
+    if config.rdo_cbf or config.rdoq:
+        allow_fast = False
     if allow_fast and supports_fast_path(config, n, width, is_luma):
         def one(plane):
             return encode_plane_fast(
@@ -66,13 +70,15 @@ def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
                 plane,
                 qp,
                 n=n,
-                mode_set=config.mode_set,
+                mode_set=(config.mode_set if is_luma
+                          else config.chroma_modes()),
                 decision=config.decision,
                 use_dst=config.use_dst(n, is_luma),
                 is_intra=config.is_intra,
                 bit_depth=config.bit_depth,
                 scan=config.scan,
                 rdo_cbf=config.rdo_cbf,
+                rdoq=config.rdoq,
                 dequant_rescale=config.dequant_rescale,
                 intra_smoothing=config.intra_smoothing and is_luma,
             )
@@ -147,7 +153,7 @@ def make_batch_encoder(
         h, w = planes.shape[-2:]
         variant = (
             None
-            if config.rdo_cbf or honor_runtime_qp
+            if config.rdo_cbf or config.rdoq or honor_runtime_qp
             else sharded_fast_supported(config, mesh, h, w, is_luma)
         )
         if variant is None:
@@ -190,7 +196,8 @@ def make_closed_loop_encoder(
             planes.astype(jnp.int32),
             qp,
             n=n,
-            mode_set=config.mode_set,
+            mode_set=(config.mode_set if is_luma
+                      else config.chroma_modes()),
             decision=config.decision,
             use_dst=config.use_dst(n, is_luma),
             bit_depth=config.bit_depth,
@@ -202,6 +209,7 @@ def make_closed_loop_encoder(
             sao=config.sao,
             sao_ctb=config.sao_ctb,
             sao_tile=config.sao_tile,
+            rdoq=config.rdoq,
         )
         frame_psnr = jax.vmap(psnr)(planes.astype(jnp.int32), out["recon"])
         out["psnr"] = frame_psnr

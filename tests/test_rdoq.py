@@ -167,25 +167,105 @@ class TestRdoqPipeline:
         assert info["psnr_y"] > 20.0
 
 
-class TestClosedLoopGuard:
-    def test_closed_loop_frame_rejects_rdoq(self):
+class TestClosedLoopRdoq:
+    """Round-4 verdict item 8: RDOQ inside the closed loop.  The
+    wavefront reconstructs from the ADJUSTED levels, so the stream
+    stays pixel-exactly decodable, and the coded payload shrinks on
+    natural content at equal-or-better model cost."""
+
+    def test_closed_loop_rdoq_decodes_pixel_exact(self):
+        from nanohevc_tpu.models.wavefront import (
+            decode_plane,
+            encode_plane_closed_loop,
+        )
+
+        plane = jnp.asarray(_natural_plane(48, 64, seed=3))
+        out = encode_plane_closed_loop(
+            plane, jnp.int32(30), n=8, rdoq=True, allow_fast=False
+        )
+        dec = decode_plane(
+            out["levels"], out["modes"], jnp.int32(30), n=8,
+            height=48, width=64,
+        )
+        assert np.array_equal(np.asarray(dec), np.asarray(out["recon"]))
+
+    def test_closed_loop_rdoq_reduces_bits(self):
+        from nanohevc_tpu.models.wavefront import encode_plane_closed_loop
+        from nanohevc_tpu.runtime import entropy
+
+        # textured content + moderate QP so the level field is dense
+        # enough for the trim/last-position stages to have choices
+        rng = np.random.default_rng(5)
+        plane = jnp.asarray(
+            (_natural_plane(64, 96, seed=5)
+             + rng.integers(-20, 21, (64, 96))).clip(0, 255).astype(np.int32)
+        )
+        outs = {}
+        for flag in (False, True):
+            o = encode_plane_closed_loop(
+                plane, jnp.int32(14), n=8, rdoq=flag, allow_fast=False
+            )
+            outs[flag] = (
+                len(entropy.encode_levels(np.asarray(o["levels"]))),
+                np.asarray(o["recon"]),
+            )
+        bytes_off, rec_off = outs[False]
+        bytes_on, rec_on = outs[True]
+        assert bytes_on < bytes_off
+        # distortion cannot collapse: PSNR within 1 dB of deadzone
+        src = np.asarray(plane, np.float64)
+        mse_off = ((src - rec_off) ** 2).mean()
+        mse_on = ((src - rec_on) ** 2).mean()
+        psnr = lambda m: 10 * np.log10(255.0 ** 2 / m)
+        assert psnr(mse_on) > psnr(mse_off) - 1.0
+
+    def test_closed_loop_frame_rdoq_roundtrip(self):
         from nanohevc_tpu.config import EncoderConfig
         from nanohevc_tpu.models.all_intra import create_test_frame
-        from nanohevc_tpu.models.wavefront import encode_frame_closed_loop
+        from nanohevc_tpu.models.wavefront import (
+            decode_frame,
+            encode_frame_closed_loop,
+        )
 
-        with pytest.raises(ValueError, match="rdoq"):
-            encode_frame_closed_loop(
-                create_test_frame(16, 16), EncoderConfig(qp=22, rdoq=True)
-            )
+        frame = create_test_frame(48, 64)
+        rec, bs = encode_frame_closed_loop(
+            frame, EncoderConfig(qp=28, rdoq=True)
+        )
+        dec = decode_frame(bs)
+        for nm in ("y", "u", "v"):
+            assert np.array_equal(getattr(rec, nm).data,
+                                  getattr(dec, nm).data), nm
 
-    def test_closed_loop_sequence_rejects_rdoq(self, tmp_path):
+    def test_closed_loop_sequence_rdoq(self, tmp_path):
         from nanohevc_tpu.config import EncoderConfig
-        from nanohevc_tpu.models.sequence import encode_sequence
+        from nanohevc_tpu.models.sequence import (
+            decode_sequence,
+            encode_sequence,
+        )
 
+        h = w = 32
         raw = tmp_path / "in.yuv"
-        raw.write_bytes(b"\x80" * (16 * 16 * 3 // 2))
+        rng = np.random.default_rng(0)
+        buf = b""
+        for i in range(2):
+            y = _natural_plane(h, w, seed=i).astype(np.uint8)
+            u = np.full((h // 2, w // 2), 128, np.uint8)
+            buf += y.tobytes() + u.tobytes() + u.tobytes()
+        raw.write_bytes(buf)
+        res = encode_sequence(
+            str(raw), w, h, 2, EncoderConfig(qp=26, rdoq=True),
+            str(tmp_path / "o.bin"), closed_loop=True, resume=False,
+        )
+        assert res.frames == 2
+        n = decode_sequence(str(tmp_path / "o.bin"),
+                            str(tmp_path / "d.yuv"))
+        assert n == 2
+
+    def test_rdoq_with_explicit_fast_kernel_rejected(self):
+        from nanohevc_tpu.models.wavefront import encode_plane_closed_loop
+
+        plane = jnp.asarray(_natural_plane(16, 16))
         with pytest.raises(ValueError, match="rdoq"):
-            encode_sequence(
-                str(raw), 16, 16, 1, EncoderConfig(qp=22, rdoq=True),
-                str(tmp_path / "o.bin"), closed_loop=True,
+            encode_plane_closed_loop(
+                plane, jnp.int32(22), n=8, rdoq=True, allow_fast=True
             )
