@@ -436,6 +436,55 @@ def row_closed_loop_35(ctx):
     }
 
 
+def row_closed_loop_35_16(ctx):
+    """1080p closed-loop 35-mode SATD at 16x16 on the grouped wavefront
+    kernel (round-5 extension: n=16 rides the same grouped layout, the
+    sublane group is 2 vregs tall).  Gates: XLA-scan equality on one
+    frame + pixel-exact decode_plane round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from nanohevc_tpu.models.wavefront import (
+        decode_plane,
+        encode_plane_closed_loop,
+        encode_planes_closed_loop,
+    )
+
+    cl_b = int(os.environ.get("NANOHEVC_BENCH_CL16_BATCH",
+                              "8" if SMOKE else "32"))
+    cl_split = (8, 1, cl_b // 8) if cl_b % 8 == 0 else None
+    fn = jax.jit(
+        lambda ps: encode_planes_closed_loop(
+            ps, jnp.int32(QP), n=16, mode_set="all", decision="satd",
+            kernel_split=cl_split,
+        )
+    )
+    v = time_batch(
+        fn, ctx.frames(cl_b), lambda out: int(out["recon"][0, 0, 0]),
+        H * W * cl_b, 8.0, "closed_loop_35_16",
+    )
+    got = fn(ctx.frames(cl_b))
+    want = jax.jit(
+        lambda p: encode_plane_closed_loop(
+            p, jnp.int32(QP), n=16, mode_set="all", decision="satd",
+            allow_fast=False,
+        )
+    )(ctx.plane)
+    ok = all(
+        device_equal(got[k][0], want[k]) for k in ("recon", "levels", "modes")
+    )
+    dec = jax.jit(
+        lambda lv, md: decode_plane(
+            lv, md, jnp.int32(QP), n=16, height=H, width=W
+        )
+    )(got["levels"][0], got["modes"][0])
+    ok = ok and device_equal(dec, got["recon"][0])
+    return {
+        "metric": "1080p closed-loop 35-mode SATD search, 16x16",
+        "value": round(v, 1), "unit": "Mpix/s", "bit_exact": ok,
+    }
+
+
 def row_wavefront(ctx):
     import jax
     import jax.numpy as jnp
@@ -788,7 +837,8 @@ ROWS = [
     ("mode4", 200, row_mode4),
     ("closed_loop_35", 420, row_closed_loop_35),
     ("wavefront", 200, row_wavefront),
-    ("sequence", 420, row_sequence),
+    ("sequence", 500, row_sequence),
+    ("closed_loop_35_16", 420, row_closed_loop_35_16),
     ("yuv", 120, row_yuv),
     ("uhd_4k", 120, row_4k),
     ("wf1", 240, row_wf1),

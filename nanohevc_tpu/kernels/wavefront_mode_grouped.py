@@ -248,13 +248,20 @@ def wavefront_mode_grouped_supported(n: int, batch: int, mode_set: str,
     On real TPU the frame batch packs the sublane axis, so it must be a
     positive multiple of 8 (Mosaic block tiling of the (g, W) state and
     modes buffers); interpret mode takes any batch >= 1.
+
+    n == 16 rides the same kernel (round 5): the sweep and the closed-
+    loop reference machinery are generic in n — the sublane group is
+    simply 2 vregs tall — and bit-exactness vs the XLA scan at 16 is
+    pinned in tests/test_wavefront.py.  32 stays on the slab kernel
+    (the (2n+1)*g-row L stack and the 33-mode unroll blow VMEM/compile
+    budgets there).
     """
     if interpret is None:
         interpret = _interpret_default()
     return (
         mode_set == "all"
         and decision == "satd"
-        and n in (4, 8)
+        and n in (4, 8, 16)
         and (not use_dst or n == 4)
         and batch >= 1
         and (interpret or batch % 8 == 0)

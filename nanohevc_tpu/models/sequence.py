@@ -105,9 +105,10 @@ def encode_sequence(
     (models/rate_control.py) adjusts QP between batches to average
     `target_bpp` bits per luma pixel; per-slice qp fields carry the
     schedule to the decoder.  config.qp seeds the controller.  Rate
-    control runs the batches sequentially (no dispatch/drain overlap —
-    feedback must see batch i before encoding i+1) and, open-loop, on
-    the XLA path (the fused kernels bake QP at compile time).
+    control keeps the dispatch/drain software pipeline with one batch
+    of lag (batch i's coded size sets batch i+2's QP — i+1 is already
+    in flight when i drains) and, open-loop, runs on the XLA path
+    (the fused kernels bake QP at compile time).
     """
     import jax
     import jax.numpy as jnp
@@ -127,6 +128,25 @@ def encode_sequence(
     if closed_loop:
         from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
         from nanohevc_tpu.ops.metrics import psnr as _psnr
+
+        if mesh is not None:
+            # Sharded closed loop: frames spread over the mesh's
+            # 'frame' axis (zero communication — the wavefront
+            # recurrence is intra-frame); the luma batch and the
+            # 2*batch chroma stack must divide that axis.
+            from nanohevc_tpu.parallel.sharding import (
+                make_closed_loop_encoder,
+            )
+
+            f_axis = mesh.shape["frame"]
+            if batch % f_axis:
+                raise ValueError(
+                    f"closed-loop sequence batch {batch} must be a "
+                    f"multiple of the mesh 'frame' axis ({f_axis})"
+                )
+            luma_fn = make_closed_loop_encoder(config, mesh, is_luma=True)
+            chroma_fn = make_closed_loop_encoder(config, mesh,
+                                                 is_luma=False)
 
         def make_cl_fn(is_luma):
             n = config.block_size if is_luma else config.chroma_block_size()
@@ -158,8 +178,9 @@ def encode_sequence(
 
             return jax.jit(run)
 
-        luma_fn = make_cl_fn(True)
-        chroma_fn = make_cl_fn(False)
+        if mesh is None:
+            luma_fn = make_cl_fn(True)
+            chroma_fn = make_cl_fn(False)
     else:
         luma_fn = chroma_fn = None  # set below
 
@@ -339,25 +360,21 @@ def encode_sequence(
             return first + take
 
         done = start
-        if controller is not None:
-            # Rate control is a feedback loop: batch i's coded size sets
-            # batch i+1's QP, so batches run strictly in sequence.
-            while done < num_frames:
-                pending = dispatch(done)
-                if pending is None:
-                    break
-                done = drain(pending)
-        else:
-            # Software pipeline: batch i+1 is enqueued on device before
-            # batch i's results are fetched and entropy-coded on the
-            # host, so the sequential entropy stage overlaps device
-            # compute.
-            pending = dispatch(done) if done < num_frames else None
-            while pending is not None:
-                nxt_first = pending[0] + pending[1]
-                nxt = dispatch(nxt_first) if nxt_first < num_frames else None
-                done = drain(pending)
-                pending = nxt
+        # Software pipeline: batch i+1 is enqueued on device before
+        # batch i's results are fetched and entropy-coded on the
+        # host, so the sequential entropy stage overlaps device
+        # compute.  Rate control rides the SAME pipeline with one
+        # batch of lag: batch i's coded size (known at drain time)
+        # sets the QP of batch i+2 — batch i+1 was already in flight
+        # with the previous QP when i drained.  Feedback is delayed by
+        # one batch; the device never idles (round-4 verdict item 10;
+        # accuracy cost measured in tests/test_rate_control.py).
+        pending = dispatch(done) if done < num_frames else None
+        while pending is not None:
+            nxt_first = pending[0] + pending[1]
+            nxt = dispatch(nxt_first) if nxt_first < num_frames else None
+            done = drain(pending)
+            pending = nxt
 
         bytes_written = out.tell()
 

@@ -298,6 +298,41 @@ class TestModeSearchKernelParity:
             np.asarray(modes), np.asarray(want["modes"])
         )
 
+    @pytest.mark.parametrize("group,lanes,wrap,b", [
+        (1, 1, 1, 1),        # plain 16x16 single frame
+        (2, 1, 2, 4),        # sublane groups + wrap (the bench shape)
+    ])
+    def test_grouped_16x16(self, group, lanes, wrap, b):
+        """Round-5 extension: the grouped closed-loop kernel at n=16
+        (sublane group 2 vregs tall, same algebra) is bit-exact vs the
+        XLA scan, including under the wrapped schedule."""
+        from nanohevc_tpu.kernels.wavefront_mode_grouped import (
+            wavefront_mode_search_raster_grouped,
+        )
+        from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
+        from nanohevc_tpu import ops
+
+        n, h, w = 16, 64, 96
+        nby, nbx = h // n, w // n
+        rng = np.random.default_rng(16 + b)
+        planes = jnp.asarray(
+            rng.integers(0, 256, (b, h, w)).astype(np.int32)
+        )
+        blocks = jnp.stack([ops.tile_plane(p, n) for p in planes])
+        rec, lev, modes = wavefront_mode_search_raster_grouped(
+            blocks, jnp.int32(27), n=n, nby=nby, nbx=nbx,
+            group=group, lanes=lanes, wrap=wrap,
+        )
+        want = encode_planes_closed_loop(
+            planes, jnp.int32(27), n=n, mode_set="all", decision="satd",
+            allow_fast=False,
+        )
+        got_rec = jnp.stack([ops.untile_plane(f, h, w) for f in rec])
+        assert np.array_equal(np.asarray(got_rec), np.asarray(want["recon"]))
+        assert np.array_equal(np.asarray(modes), np.asarray(want["modes"]))
+        got_lv = jnp.stack([ops.scan_pack(f, "diag") for f in lev])
+        assert np.array_equal(np.asarray(got_lv), np.asarray(want["levels"]))
+
     @pytest.mark.parametrize("n,dst", [(4, True), (8, False)])
     def test_matches_sequential_oracle(self, n, dst):
         """Both paths (fused kernel and XLA scan) == the sequential
