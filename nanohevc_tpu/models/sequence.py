@@ -370,6 +370,13 @@ def encode_sequence(
         # one batch; the device never idles (round-4 verdict item 10;
         # accuracy cost measured in tests/test_rate_control.py).
         pending = dispatch(done) if done < num_frames else None
+        if controller is not None and pending is not None:
+            # Prime the feedback loop: drain the first batch before
+            # enqueueing the second, so a badly-seeded QP is corrected
+            # after ONE batch; only the steady state carries the
+            # one-batch lag (the device idles exactly once, at start).
+            done = drain(pending)
+            pending = dispatch(done) if done < num_frames else None
         while pending is not None:
             nxt_first = pending[0] + pending[1]
             nxt = dispatch(nxt_first) if nxt_first < num_frames else None
