@@ -15,6 +15,7 @@ beyond raw YUV I/O (frame.py:88-115).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import struct
@@ -28,6 +29,63 @@ from nanohevc_tpu.config import EncoderConfig
 from nanohevc_tpu.utils.tracing import Stopwatch, throughput_stats
 
 NAL_AUD = 35
+
+
+@functools.lru_cache(maxsize=32)
+def _closed_loop_jit(config: EncoderConfig, is_luma: bool):
+    """Jitted unsharded closed-loop batch encoder, cached on the frozen
+    config — a fresh jax.jit wrapper per encode_sequence call would
+    recompile the identical program every invocation (~7 s per plane
+    kind on the tunnel backend, dominating short sequences)."""
+    import jax
+
+    from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
+    from nanohevc_tpu.ops.metrics import psnr as _psnr
+
+    n = config.block_size if is_luma else config.chroma_block_size()
+
+    def run(planes, qp):
+        # Natively batched: the frames interleave their same-index
+        # diagonals (see models/wavefront.py).
+        out = encode_planes_closed_loop(
+            planes,
+            qp,
+            n=n,
+            mode_set=(config.mode_set if is_luma
+                      else config.chroma_modes()),
+            decision=config.decision,
+            use_dst=config.use_dst(n, is_luma),
+            bit_depth=config.bit_depth,
+            scan=config.scan,
+            dequant_rescale=config.dequant_rescale,
+            intra_smoothing=config.intra_smoothing and is_luma,
+            deblock=config.deblock,
+            deblock_chroma=not is_luma,
+            sao=config.sao,
+            sao_ctb=config.sao_ctb,
+            sao_tile=config.sao_tile,
+            rdoq=config.rdoq,
+        )
+        out["psnr"] = jax.vmap(_psnr)(planes, out["recon"])
+        return out
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=1)
+def _transfer_jits():
+    """Shared device-side transfer helpers (compact header, int8 modes,
+    uint8->int32 widen), jitted once per process."""
+    import jax
+    import jax.numpy as jnp
+
+    from nanohevc_tpu.ops.sparse import compact_levels
+
+    return (
+        jax.jit(compact_levels),
+        jax.jit(lambda m: m.astype(jnp.int8)),
+        jax.jit(lambda p: p.astype(jnp.int32)),
+    )
 
 
 def _read_frames(path: str, width: int, height: int, start: int, count: int
@@ -113,7 +171,7 @@ def encode_sequence(
     import jax
     import jax.numpy as jnp
 
-    from nanohevc_tpu.ops.sparse import compact_levels, fetch_levels
+    from nanohevc_tpu.ops.sparse import fetch_levels
     from nanohevc_tpu.parallel.sharding import make_batch_encoder
     from nanohevc_tpu.runtime import entropy
     from nanohevc_tpu.runtime.bitstream import assemble_bitstream
@@ -126,9 +184,6 @@ def encode_sequence(
                          "the decodable recon)")
 
     if closed_loop:
-        from nanohevc_tpu.models.wavefront import encode_planes_closed_loop
-        from nanohevc_tpu.ops.metrics import psnr as _psnr
-
         if mesh is not None:
             # Sharded closed loop: frames spread over the mesh's
             # 'frame' axis (zero communication — the wavefront
@@ -148,39 +203,9 @@ def encode_sequence(
             chroma_fn = make_closed_loop_encoder(config, mesh,
                                                  is_luma=False)
 
-        def make_cl_fn(is_luma):
-            n = config.block_size if is_luma else config.chroma_block_size()
-
-            def run(planes, qp):
-                # Natively batched: the frames interleave their same-
-                # index diagonals (see models/wavefront.py).
-                out = encode_planes_closed_loop(
-                    planes,
-                    qp,
-                    n=n,
-                    mode_set=(config.mode_set if is_luma
-                              else config.chroma_modes()),
-                    decision=config.decision,
-                    use_dst=config.use_dst(n, is_luma),
-                    bit_depth=config.bit_depth,
-                    scan=config.scan,
-                    dequant_rescale=config.dequant_rescale,
-                    intra_smoothing=config.intra_smoothing and is_luma,
-                    deblock=config.deblock,
-                    deblock_chroma=not is_luma,
-                    sao=config.sao,
-                    sao_ctb=config.sao_ctb,
-                    sao_tile=config.sao_tile,
-                    rdoq=config.rdoq,
-                )
-                out["psnr"] = jax.vmap(_psnr)(planes, out["recon"])
-                return out
-
-            return jax.jit(run)
-
         if mesh is None:
-            luma_fn = make_cl_fn(True)
-            chroma_fn = make_cl_fn(False)
+            luma_fn = _closed_loop_jit(config, True)
+            chroma_fn = _closed_loop_jit(config, False)
     else:
         luma_fn = chroma_fn = None  # set below
 
@@ -247,14 +272,12 @@ def encode_sequence(
 
         # Device->host transfer is the measured end-to-end wall (round-5
         # profiling: ~16 s/batch fetching dense int32 levels through a
-        # ~35 MB/s link while host entropy takes 0.1 s), so levels are
-        # compacted ON DEVICE to (int16 value, int32 index) pairs and
-        # only the occupied prefix is fetched (ops/sparse.py); modes
-        # shrink to int8 (0-34).  Uploads ride as uint8 and widen on
-        # device for the same reason.
-        _compact = jax.jit(compact_levels)
-        _to_i8 = jax.jit(lambda m: m.astype(jnp.int8))
-        _widen = jax.jit(lambda p: p.astype(jnp.int32))
+        # ~35 MB/s link while host entropy takes 0.1 s), so only the
+        # occupied SCAN PREFIX of the level tensor is fetched, as int16
+        # (ops/sparse.py; an 8-byte device header names the prefix);
+        # modes shrink to int8 (0-34).  Uploads ride as uint8 and widen
+        # on device for the same reason.
+        _compact, _to_i8, _widen = _transfer_jits()
 
         def dispatch(first: int):
             """Load + enqueue one device batch; returns pending handle."""

@@ -13,7 +13,7 @@ program — no explicit communication code, per the XLA/jit SPMD model.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable
 
 import jax
@@ -90,6 +90,18 @@ def _batch_step(planes: jnp.ndarray, qp: jnp.ndarray, *, config: EncoderConfig,
     return out
 
 
+@lru_cache(maxsize=64)
+def _batch_encoder_unsharded(
+    config: EncoderConfig, is_luma: bool, donate: bool,
+    honor_runtime_qp: bool,
+) -> Callable:
+    step = partial(
+        _batch_step, config=config, is_luma=is_luma,
+        allow_fast=not honor_runtime_qp,
+    )
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_batch_encoder(
     config: EncoderConfig,
     mesh: Mesh | None = None,
@@ -113,11 +125,14 @@ def make_batch_encoder(
     (what rate control needs: one compiled program, any QP).
     """
     if mesh is None:
-        step = partial(
-            _batch_step, config=config, is_luma=is_luma,
-            allow_fast=not honor_runtime_qp,
+        # Cached on the (hashable, frozen) config: a fresh jax.jit
+        # wrapper per call would retrace AND recompile the same program
+        # every encode_sequence/CLI invocation (measured ~7 s per plane
+        # kind on the tunnel backend — it was the sequence bench's
+        # hidden "dispatch" wall).
+        return _batch_encoder_unsharded(
+            config, is_luma, donate, honor_runtime_qp
         )
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     in_shardings = (
         NamedSharding(mesh, P("frame", "space", None)),

@@ -1,9 +1,9 @@
 """Sparse device->host level transfer (ops/sparse.py).
 
-The sequence encoder's fetch stage compacts the quantized level tensor
-on device and expands it on the host; these tests pin the lossless
-round-trip contract at every density, the int16-overflow fallback, and
-the bucket-rounding fetch shapes.
+The sequence encoder's fetch stage reads an 8-byte device header and
+fetches only the occupied scan prefix of the level tensor as int16;
+these tests pin the lossless round-trip contract at every density and
+prefix length, the int16-overflow fallback, and the bucket rounding.
 """
 
 import numpy as np
@@ -13,17 +13,17 @@ import jax
 import jax.numpy as jnp
 
 from nanohevc_tpu.ops.sparse import (
-    _MIN_BUCKET,
+    _MIN_PREFIX,
     _bucket,
     compact_levels,
-    expand_levels,
     fetch_levels,
 )
 
 
 def _roundtrip(levels_np):
-    sparse = jax.jit(compact_levels)(jnp.asarray(levels_np))
-    return fetch_levels(sparse, levels_np.shape, dense=jnp.asarray(levels_np))
+    dense = jnp.asarray(levels_np)
+    sparse = jax.jit(compact_levels)(dense)
+    return fetch_levels(sparse, levels_np.shape, dense=dense)
 
 
 class TestRoundTrip:
@@ -45,6 +45,15 @@ class TestRoundTrip:
         lv.flat[-1] = 7
         assert np.array_equal(_roundtrip(lv), lv)
 
+    @pytest.mark.parametrize("lastpos", [0, 3, 4, 5, 15, 63])
+    def test_every_prefix_bucket(self, lastpos):
+        # one nonzero pinned at each bucket boundary region: the fetch
+        # must pick a prefix covering it and pad the tail with zeros
+        lv = np.zeros((2, 6, 64), np.int32)
+        lv[1, 3, lastpos] = -9
+        lv[0, 0, 0] = 2
+        assert np.array_equal(_roundtrip(lv), lv)
+
     def test_int16_extremes_survive(self):
         lv = np.zeros((1, 2, 16), np.int32)
         lv[0, 0, 0] = 32767
@@ -59,20 +68,18 @@ class TestRoundTrip:
 
 
 class TestHeader:
-    def test_nnz_and_max_abs(self):
-        lv = np.zeros((2, 3, 4), np.int32)
+    def test_prefix_and_max_abs(self):
+        lv = np.zeros((2, 3, 8), np.int32)
         lv[0, 0, 0] = -9
-        lv[1, 2, 3] = 4
+        lv[1, 2, 5] = 4
         sparse = compact_levels(jnp.asarray(lv))
-        nnz, max_abs = np.asarray(sparse["header"])
-        assert nnz == 2 and max_abs == 9
+        prefix, max_abs = np.asarray(sparse["header"])
+        assert prefix == 6 and max_abs == 9      # last occupied pos 5
 
-    def test_values_keep_original_order(self):
-        lv = np.array([[0, 3, 0, -1, 2, 0]], np.int32)
-        sparse = compact_levels(jnp.asarray(lv))
-        nnz = int(np.asarray(sparse["header"])[0])
-        assert list(np.asarray(sparse["vals"][:nnz])) == [3, -1, 2]
-        assert list(np.asarray(sparse["locs"][:nnz])) == [1, 3, 4]
+    def test_all_zero_header(self):
+        sparse = compact_levels(jnp.zeros((3, 4), jnp.int32))
+        prefix, max_abs = np.asarray(sparse["header"])
+        assert prefix == 0 and max_abs == 0
 
 
 class TestOverflowFallback:
@@ -83,31 +90,21 @@ class TestOverflowFallback:
         out = fetch_levels(sparse, lv.shape, dense=jnp.asarray(lv))
         assert np.array_equal(out, lv)
 
-    def test_overflow_without_dense_raises(self):
+    def test_missing_dense_raises(self):
         lv = np.zeros((1, 1, 4), np.int32)
-        lv[0, 0, 0] = -40000
         sparse = compact_levels(jnp.asarray(lv))
-        with pytest.raises(ValueError, match="int16"):
+        with pytest.raises(ValueError, match="dense"):
             fetch_levels(sparse, lv.shape)
 
 
 class TestBuckets:
     def test_bucket_rounding(self):
-        assert _bucket(1, 10**9) == _MIN_BUCKET
-        assert _bucket(_MIN_BUCKET, 10**9) == _MIN_BUCKET
-        assert _bucket(_MIN_BUCKET + 1, 10**9) == 2 * _MIN_BUCKET
-        assert _bucket(10**9, 5000) == 5000   # capped at tensor size
+        assert _bucket(1, 1024) == _MIN_PREFIX
+        assert _bucket(_MIN_PREFIX, 1024) == _MIN_PREFIX
+        assert _bucket(_MIN_PREFIX + 1, 1024) == 2 * _MIN_PREFIX
+        assert _bucket(10**9, 64) == 64       # capped at ncoef
 
-    def test_dense_beyond_min_bucket(self):
+    def test_full_prefix_is_dense(self):
         rng = np.random.default_rng(3)
-        lv = rng.integers(1, 5, (2, 200, 16)).astype(np.int32)  # nnz=6400
+        lv = rng.integers(1, 5, (2, 20, 16)).astype(np.int32)
         assert np.array_equal(_roundtrip(lv), lv)
-
-
-class TestExpand:
-    def test_expand_direct(self):
-        vals = np.array([5, -2], np.int16)
-        locs = np.array([1, 6], np.int32)
-        out = expand_levels(vals, locs, 2, (2, 4))
-        want = np.array([[0, 5, 0, 0], [0, 0, -2, 0]], np.int32)
-        assert np.array_equal(out, want)
