@@ -450,8 +450,12 @@ def row_closed_loop_35_16(ctx):
         encode_planes_closed_loop,
     )
 
+    # batch 64 = g8 x m1 x F8: the deeper wrap cuts the skew idle
+    # further (steps F*nbx+nby-1 vs F*(nbx+nby-1)) — measured on chip
+    # 2026-08-21: 564.9 Mpix/s at b=64 (compile 151 s) vs 470.3 at
+    # b=32 (compile 257 s), both gates green.
     cl_b = int(os.environ.get("NANOHEVC_BENCH_CL16_BATCH",
-                              "8" if SMOKE else "32"))
+                              "8" if SMOKE else "64"))
     cl_split = (8, 1, cl_b // 8) if cl_b % 8 == 0 else None
     fn = jax.jit(
         lambda ps: encode_planes_closed_loop(
