@@ -18,9 +18,15 @@ platform = os.environ.get("NANOHEVC_TEST_PLATFORM", "cpu")
 os.environ["JAX_PLATFORMS"] = platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if platform == "cpu" and "xla_backend_optimization_level" not in flags:
+    # The suite is XLA-CPU compile-bound (hundreds of distinct small
+    # integer programs); dialing optimization down cuts compile ~20%
+    # with identical integer semantics (results are bit-exact either
+    # way — the parity suite is the proof).
+    flags += (" --xla_backend_optimization_level=0"
+              " --xla_llvm_disable_expensive_passes=true")
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

@@ -161,16 +161,19 @@ class TestClosedLoopIntegration:
     def test_roundtrip_pixel_exact(self):
         self._roundtrip(64, 64)
 
+    @pytest.mark.slow   # ~16 s closed-loop compile at odd geometry; aligned case stays fast
     def test_roundtrip_nonaligned(self):
         # padded-recon filtering must match on both sides pre-crop
         self._roundtrip(52, 61)
 
+    @pytest.mark.slow   # ~11 s second closed-loop config compile
     def test_pps_flag(self):
         from nanohevc_tpu.runtime.bitstream import parse_bitstream
 
         _, _, bs = self._roundtrip(32, 32)
         assert parse_bitstream(bs)["params"]["deblock"] is True
 
+    @pytest.mark.slow   # ~11 s second config compile; the pps_flag --slow test covers the flag
     def test_flag_off_stream_not_filtered(self):
         from nanohevc_tpu.config import EncoderConfig
         from nanohevc_tpu.models.all_intra import create_test_frame

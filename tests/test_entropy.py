@@ -228,6 +228,7 @@ class TestRobustness:
                     OverflowError):
                 pass
 
+    @pytest.mark.slow   # ~13 s corruption fuzz sweep
     def test_decode_frame_fuzz(self):
         """Mutated closed-loop frame streams through the full decoder:
         clean exception or a decoded Frame, never a crash/hang."""

@@ -41,6 +41,7 @@ class TestSmoothingFlagInFullPipelineBitstream:
 
 
 class TestTargetBytesAllPipelines:
+    @pytest.mark.slow   # ~21 s CLI full-pipeline compile
     def test_full_pipeline_honors_budget(self, tmp_path, capsys):
         from nanohevc_tpu.cli import main
 

@@ -175,6 +175,7 @@ class TestContainerIntegration:
         return fr
 
     @pytest.mark.parametrize("scan", ["diag", "mode"])
+    @pytest.mark.slow   # ~35 s/param full-frame closed loop; engine/residual parity stays fast
     def test_closed_loop_cabac_decodes_pixel_exact(self, scan):
         from nanohevc_tpu.config import EncoderConfig
         from nanohevc_tpu.models.wavefront import (

@@ -55,6 +55,7 @@ class TestSingleModeSets:
         with pytest.raises(ValueError, match="chroma_mode_set"):
             EncoderConfig(chroma_mode_set="bogus")
 
+    @pytest.mark.slow   # ~12 s full encode; export grammar/honesty gates stay fast
     def test_closed_loop_chroma_dc_roundtrip(self):
         """A closed-loop frame with chroma_mode_set='dc' still decodes
         pixel-exactly, and its U/V modes are all DC."""

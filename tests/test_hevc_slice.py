@@ -586,6 +586,7 @@ class TestIndependentParser:
         assert np.array_equal(got_md, md)
         assert np.array_equal(got_lv, lv)
 
+    @pytest.mark.slow   # ~41 s: full-frame closed-loop encode; small-geometry parser cases stay fast
     def test_spec_parser_full_frame(self):
         """A real closed-loop frame: every plane's slice payload parses
         bit-exactly with the independent parser AND matches the
@@ -794,6 +795,7 @@ class TestContainerIntegration:
                 entropy_coder="hevc-slice",
             )
 
+    @pytest.mark.slow   # ~41 s full-frame encode; small-geometry container cases stay fast
     def test_closed_loop_frame_pixel_exact(self):
         import jax.numpy as jnp
 

@@ -303,6 +303,7 @@ class TestFullStream:
             assert np.array_equal(got_md, payloads[fi][1])
             assert np.array_equal(got_lv, payloads[fi][0])
 
+    @pytest.mark.slow   # ~22 s full-frame encode; field-level stream grammar tests stay fast
     def test_real_frame_export(self):
         """A real closed-loop luma plane exports and parses."""
         import jax.numpy as jnp

@@ -272,6 +272,7 @@ class TestDeviceModeRate:
                 # is the adaptive coder's win, not a model error)
                 assert est <= 1.5 * actual, (name, actual, est)
 
+    @pytest.mark.slow   # ~11 s 35-mode RD; the rate-model bound checks stay fast
     def test_rd_grid_term_increases_mode_coherence(self):
         """decision='rd' with the grid term must produce a mode field
         at least as cheap to signal as without it (the term's whole

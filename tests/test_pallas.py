@@ -232,10 +232,15 @@ class TestSlabKernelVariants:
         )
 
 
+@pytest.mark.slow
 class TestModeSearchKernel:
     # interpret-mode traces of the 33-mode unrolled kernel are expensive
     # on this 1-core box: shapes are shared across tests so the Pallas
     # build caches, and n=16 runs a single QP.
+    # slow: 30-200 s per test, all XLA-CPU compile of the unrolled
+    # sweep; the fast profile keeps the slab-kernel parity
+    # (TestSlabKernel) and the driver bench gates the mode-search
+    # kernels against the XLA path on the real chip (rows mode4/8/16/32).
     @pytest.mark.parametrize("n,qp", [(8, 12), (8, 30), (16, 30), (32, 30)])
     def test_matches_xla_mode_search(self, n, qp):
         """Fused 35-mode SATD kernel == decide_modes('all', 'satd') path."""

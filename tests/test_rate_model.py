@@ -107,6 +107,7 @@ class TestDeviceRateModel:
         assert abs(model[coded].sum() - t_coded) / max(t_coded, 1) < 0.35
         assert np.abs(model[~coded] - truth[~coded]).max() < 0.9
 
+    @pytest.mark.slow   # ~11 s 4x4 stream encode; the 8x8 calibration checks stay fast
     def test_4x4_stream(self):
         lv = _levels("gradient", 20, n=4, seed=3)
         truth = block_bits(lv)

@@ -37,6 +37,7 @@ def _run(fr, decision, qp):
 
 
 class TestRdDecision:
+    @pytest.mark.slow   # ~82 s: 35-mode RD compile; the edge-content RD test keeps the contract fast
     def test_rd_runs_and_changes_modes_vs_satd(self):
         fr = _edges_frame()
         cfg_s = EncoderConfig(block_size=8, qp=30, mode_set="all", decision="satd")
@@ -48,6 +49,7 @@ class TestRdDecision:
         assert ms.shape == mr.shape
         assert not np.array_equal(ms, mr)  # the rate term binds
 
+    @pytest.mark.slow   # ~120 s cold: first RD-program compile in the fast profile
     def test_rd_curve_dominates_satd_on_edges(self):
         """At equal (or smaller) size the RD decision must not lose
         PSNR on strongly directional content (docs/quality.md table)."""
@@ -67,6 +69,7 @@ class TestRdDecision:
         with pytest.raises(ValueError, match="rd"):
             decide_modes(blocks, refs, 8, "all", "rd")
 
+    @pytest.mark.slow   # ~20 s closed-loop RD compile; decode exactness covered by test_wavefront
     def test_rd_closed_loop_decodes_pixel_exact(self):
         from nanohevc_tpu.models.wavefront import (
             decode_frame,
@@ -83,6 +86,7 @@ class TestRdDecision:
 
 
 class TestClosedLoopExactModeRate:
+    @pytest.mark.slow   # ~27 s; the static-bound checks in test_modes_mpm stay fast
     def test_exact_mpm_rate_reduces_mode_bytes_and_decodes(self):
         """Closed-loop decision='rd' charges the EXACT MPM signalling
         cost (neighbors from the scan's decided-modes carry, no 2-pass

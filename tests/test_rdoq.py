@@ -101,6 +101,7 @@ class TestRdoqLevels:
 
 
 class TestRdoqPipeline:
+    @pytest.mark.slow   # ~13 s; rdoq bit-reduction also asserted by the closed-loop variant
     def test_reduces_bits_on_natural_content(self):
         plane = jnp.asarray(_natural_plane(128, 128))
         o0 = encode_plane_full(plane, 14, n=4, use_dst=True,
@@ -236,6 +237,7 @@ class TestClosedLoopRdoq:
             assert np.array_equal(getattr(rec, nm).data,
                                   getattr(dec, nm).data), nm
 
+    @pytest.mark.slow   # ~10 s multi-frame; the frame-level rdoq roundtrip stays fast
     def test_closed_loop_sequence_rdoq(self, tmp_path):
         from nanohevc_tpu.config import EncoderConfig
         from nanohevc_tpu.models.sequence import (

@@ -120,6 +120,7 @@ class TestOpsParity:
         got = np.asarray(opssao.apply_sao(rec, t1, p1, o1))
         assert (got == want).all()
 
+    @pytest.mark.slow   # ~24 s multi-frame end-to-end
     def test_sequence_roundtrip_sao_deblock(self, tmp_path):
         """Sequence with per-frame SAO NALs decodes pixel-exactly."""
         import jax.numpy as jnp
@@ -177,6 +178,7 @@ class TestOpsParity:
                 str(tmp_path / "o.nhb"),
             )
 
+    @pytest.mark.slow   # ~26 s full-frame closed-loop encode; estimator/apply parity stays fast
     def test_frame_roundtrip_sao(self):
         from nanohevc_tpu.config import EncoderConfig
         from nanohevc_tpu.models.all_intra import create_test_frame
@@ -209,6 +211,7 @@ class TestOpsParity:
         with pytest.raises(CorruptBitstreamError):
             parse_sao_params(b"NS\x01" + bytes([7, 0, 0, 0, 0, 0, 0]))
 
+    @pytest.mark.slow   # ~17 s full encode; the CTB variant covers the same failure contract in --slow
     def test_dropped_sao_nal_fails_loudly(self):
         """The PPS carries sao_enabled: a stream whose per-frame SAO
         NAL is dropped (truncation/corruption) must raise, not decode

@@ -220,6 +220,11 @@ class TestNalSyntax:
 
 
 class TestEncoderIntegration:
+    # slow: ~36-56 s each (full closed-loop SAO-CTB encode+decode
+    # compile).  Fast-profile coverage of SAO-CTB: the estimator/apply
+    # oracle parity below; the full roundtrip rides --slow and the
+    # sequence bench's loop-filter A/B decodes on the real chip.
+    @pytest.mark.slow
     @pytest.mark.parametrize("h,w,tile", [(96, 128, 32), (72, 100, 64)])
     def test_roundtrip_pixel_exact(self, h, w, tile):
         from nanohevc_tpu.config import EncoderConfig
@@ -239,6 +244,7 @@ class TestEncoderIntegration:
                 getattr(rec, name).data, getattr(dec, name).data
             ), name
 
+    @pytest.mark.slow   # ~28 s full encode; the estimator-oracle tests keep SAO-CTB correctness fast
     def test_dropped_ctb_nal_fails_loudly(self):
         from nanohevc_tpu.config import EncoderConfig
         from nanohevc_tpu.models.all_intra import create_test_frame
@@ -272,6 +278,7 @@ class TestEncoderIntegration:
         with pytest.raises(ValueError, match="power of two"):
             EncoderConfig(sao_ctb=True, sao_tile=48)
 
+    @pytest.mark.slow   # ~54 s multi-frame end-to-end
     def test_sequence_roundtrip(self, tmp_path):
         from nanohevc_tpu.config import EncoderConfig
         from nanohevc_tpu.models.sequence import (

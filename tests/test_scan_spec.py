@@ -127,6 +127,7 @@ class TestModeScanEndToEnd:
         fr.v.data[...] = 128
         return fr
 
+    @pytest.mark.slow   # ~35 s full-frame closed loop; per-block scan spec checks stay fast
     def test_closed_loop_mode_scan_decodes_pixel_exact(self):
         from nanohevc_tpu.config import EncoderConfig
         from nanohevc_tpu.models.wavefront import (
@@ -151,6 +152,7 @@ class TestModeScanEndToEnd:
         with pytest.raises(ValueError, match="mode"):
             assemble_bitstream(64, 32, 22, levels, None, scan="mode")
 
+    @pytest.mark.slow   # ~41 s full-frame mode-scan encode; scan-table spec checks stay fast
     def test_mode_scan_not_larger_on_directional_content(self):
         """Spec motivation: scanning along the prediction direction
         groups the residual's nonzeros, so the mode-dependent scan

@@ -43,6 +43,7 @@ class TestSequenceEncode:
             assert f["U"]["levels"].shape == (32, 16)   # 8x4 blocks of 4x4
             assert f["Y"]["modes"] is not None
 
+    @pytest.mark.slow   # ~12 s two-pass sequence; the pixel-exact sequence test stays fast
     def test_resume_after_interrupt(self, tmp_path):
         src = tmp_path / "seq.yuv"
         write_sequence(src, 32, 32, 8)

@@ -120,6 +120,9 @@ class TestShardedEncode:
         assert out["levels"].shape == (2, 32, 64)
 
 
+@pytest.mark.slow
+# slow: ~90 s each, the full sharded pipeline double-compile; the
+# driver runs dryrun_multichip itself on every round (MULTICHIP_r*).
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import sys
@@ -198,6 +201,8 @@ class TestBatchEncoderKernelRouting:
         assert sharded_fast_supported(cfg, mesh, 44, 64) is None
 
     @needs_8
+    @pytest.mark.slow   # ~30 s/param: shard_map 35-mode kernel compile;
+    # the slab-variant routing tests keep this path's contract fast
     @pytest.mark.parametrize("space", [1, 2])
     def test_sharded_mode_search_matches_single_device(self, space):
         """Sharded fused 35-mode search == per-frame XLA mode search."""
@@ -252,7 +257,12 @@ class TestSpatialFastPath:
             ), f
 
     @needs_8
-    @pytest.mark.parametrize("variant", ["slab", "mode_search"])
+    @pytest.mark.parametrize("variant", [
+        "slab",
+        # slow: ~53 s (35-mode shard_map compile); slab keeps the
+        # nondivisible-height halo contract in the fast profile
+        pytest.param("mode_search", marks=pytest.mark.slow),
+    ])
     def test_sharded_nondivisible_height_matches_unsharded(self, variant):
         """Block-row counts that don't divide the space axis (the 1080p
         case: 135 rows of 8 over 2 shards) pad at the frame bottom and

@@ -174,6 +174,7 @@ class TestPrediction:
 
 
 class TestEndToEnd:
+    @pytest.mark.slow   # ~15 s; smoothing decode exactness also pinned at block level
     def test_closed_loop_bitstream_roundtrip(self):
         """Smoothing rides the PPS: the decoder reproduces the encoder's
         reconstruction with no out-of-band knowledge."""
@@ -196,6 +197,7 @@ class TestEndToEnd:
                 getattr(decoded, p).data, getattr(recon, p).data
             ), p
 
+    @pytest.mark.slow   # ~18 s full encode A/B; filter-rule parity stays fast
     def test_smoothing_changes_the_stream(self):
         from nanohevc_tpu.config import EncoderConfig
         from nanohevc_tpu.models.all_intra import create_test_frame

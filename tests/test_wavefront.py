@@ -206,11 +206,17 @@ def simulate_closed_loop_modes(plane: np.ndarray, n: int, qp: int,
     return recon, levels, modes
 
 
+@pytest.mark.slow
 class TestModeSearchKernelParity:
     """The fused 35-mode wavefront kernel vs the XLA scan, bit-for-bit.
 
     The XLA scan is itself pinned to the sequential per-block oracle
     (TestClosedLoopEncode), so equality here chains to the oracle.
+
+    slow: interpret-mode kernel runs are XLA-CPU compile-bound
+    (30-170 s each); the fast profile keeps the XLA-scan-vs-oracle
+    contract (TestClosedLoopEncode) and the driver bench gates the
+    kernel-vs-scan equality on the real chip every round.
     """
 
     def _check(self, n, h, w, b=1, qp=24, **kw):
@@ -469,6 +475,7 @@ class TestDecoder:
                 getattr(decoded, p).data, getattr(recon, p).data
             ), p
 
+    @pytest.mark.slow   # ~17 s CLI decode compile; 10-bit codec parity stays fast at block level
     def test_10bit_cli_decode_writes_16le(self, tmp_path, capsys):
         """A 10-bit stream decodes to 16-bit-LE YUV, not truncated u8."""
         from nanohevc_tpu.cli import main
@@ -510,6 +517,7 @@ class TestDecoder:
         assert params["scan_idx"] == 2
         assert params["dequant_rescale"] is True
 
+    @pytest.mark.slow   # ~15 s; closed-loop decode exactness covered by dc_planar roundtrips
     def test_mode_search_closed_loop_roundtrip(self):
         rng = np.random.default_rng(4)
         h, w = 32, 32
@@ -538,7 +546,14 @@ class TestFrameCodec:
         assert np.array_equal(decoded.u.data, recon.u.data)
         assert np.array_equal(decoded.v.data, recon.v.data)
 
-    @pytest.mark.parametrize("h,w", [(52, 61), (40, 60), (33, 35)])
+    @pytest.mark.parametrize("h,w", [
+        # slow: ~14-16 s per geometry (each compiles its own padded
+        # program); the (33, 35) case keeps the any-geometry contract
+        # in the fast profile
+        pytest.param(52, 61, marks=pytest.mark.slow),
+        pytest.param(40, 60, marks=pytest.mark.slow),
+        (33, 35),
+    ])
     def test_nonaligned_dims_decode_pixel_exact(self, h, w):
         """decode(encode(x)) == encoder recon at ANY geometry: ragged
         edges are coded via edge-replicated padding and cropped back
