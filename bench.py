@@ -627,6 +627,13 @@ def row_sequence(ctx):
                              entropy_coder="cabac")),
     ):
         p = os.path.join(tmp, f"feat_{name}.bin")
+        # warm THIS config's jits untimed: the encoder jit cache makes
+        # repeat configs free, so without a per-config warmup the "on"
+        # side would pay its one-time compile inside the timed window
+        # while "off" reuses the main row's cached programs
+        encode_sequence(src_path, W, H, min(8, ab_n), cfg,
+                        os.path.join(tmp, f"feat_{name}_warm.bin"),
+                        batch=8, resume=False, closed_loop=True)
         t0 = time.time()
         r = encode_sequence(src_path, W, H, ab_n, cfg, p,
                             batch=8, resume=False, closed_loop=True)
