@@ -35,6 +35,22 @@ jax.config.update("jax_platforms", platform)
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_jax_caches():
+    """Clear jax's compiled-program caches at each module boundary.
+
+    A full-suite run accumulates hundreds of XLA-CPU LLVM-jitted
+    programs in one process; past ~300 compiles the next compile can
+    segfault inside backend_compile (observed deterministically at the
+    same suite position on this container, while every module passes
+    standalone).  Cross-module program reuse is near zero (each module
+    jits its own closures), so clearing costs little and keeps the
+    process within the regime every standalone-module run validated.
+    """
+    jax.clear_caches()
+    yield
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--slow", action="store_true", default=False,
